@@ -1,0 +1,332 @@
+"""Golden tests for the core ops against torch (CPU) and hand references.
+
+The torch cross-checks pin our NHWC/JAX implementations to the exact
+numerical semantics the reference relied on (align-corners upsampling,
+grid_sample zero padding, SSIM window math, Corr1d shift rules).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from dsmnet_tpu.ops import (
+    concat_cost_volume,
+    concat_cost_volume_reference,
+    corr1d,
+    corr1d_reference,
+    c_ds1,
+    c_ds2,
+    c_ds3,
+    diff1_dx,
+    diff1_dy,
+    imwarp,
+    resize_bilinear,
+    resize_trilinear,
+    soft_argmin,
+    ssim_map,
+    upsample2x,
+)
+
+
+def to_nchw(x):
+    return np.transpose(x, (0, 3, 1, 2))
+
+
+def to_nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+# ---------------------------------------------------------------- resize
+
+
+@pytest.mark.parametrize("hw", [(6, 9), (17, 13)])
+def test_upsample2x_matches_torch_align_corners(rng, hw):
+    h, w = hw
+    x = rng.randn(2, h, w, 3).astype(np.float32)
+    ours = np.asarray(upsample2x(jnp.asarray(x)))
+    theirs = F.interpolate(
+        torch.from_numpy(to_nchw(x)), scale_factor=2, mode="bilinear", align_corners=True
+    ).numpy()
+    np.testing.assert_allclose(ours, to_nhwc(theirs), rtol=1e-5, atol=1e-5)
+
+
+def test_resize_bilinear_matches_torch(rng):
+    x = rng.randn(1, 5, 7, 2).astype(np.float32)
+    ours = np.asarray(resize_bilinear(jnp.asarray(x), (20, 28)))
+    theirs = F.interpolate(
+        torch.from_numpy(to_nchw(x)), size=(20, 28), mode="bilinear", align_corners=True
+    ).numpy()
+    np.testing.assert_allclose(ours, to_nhwc(theirs), rtol=1e-5, atol=1e-5)
+
+
+def test_resize_trilinear_matches_torch(rng):
+    x = rng.randn(1, 4, 5, 6, 1).astype(np.float32)
+    ours = np.asarray(resize_trilinear(jnp.asarray(x), (12, 20, 24)))
+    xt = torch.from_numpy(np.transpose(x, (0, 4, 1, 2, 3)))
+    theirs = F.interpolate(xt, size=(12, 20, 24), mode="trilinear", align_corners=True).numpy()
+    np.testing.assert_allclose(
+        ours, np.transpose(theirs, (0, 2, 3, 4, 1)), rtol=1e-5, atol=1e-5
+    )
+
+
+# ---------------------------------------------------------------- warp
+
+
+def _torch_imwrap(im_src, disp, fliplr=False, left_top=(0, 0), scale_factor=1):
+    """Literal re-derivation of reference utils/imwrap.py:37-72 (no eps)."""
+    bn, _, h0, w0 = im_src.shape
+    bn, c, h, w = disp.shape
+    x, y = left_top
+    x = x * 2.0 / (w0 - 1) - 1
+    y = y * 2.0 / (h0 - 1) - 1
+    x1 = x + (w - 1) * scale_factor * 2.0 / (w0 - 1)
+    y1 = y + (h - 1) * scale_factor * 2.0 / (h0 - 1)
+    row = torch.linspace(x, x1, w)
+    col = torch.linspace(y, y1, h)
+    grid = torch.zeros(bn, h, w, 2)
+    grid[:, :, :, 0] = row.view(1, 1, w)
+    grid[:, :, :, 1] = col.view(1, h, 1)
+    k = -1.0 if fliplr else 1.0
+    grid[:, :, :, 0] = k * (grid[:, :, :, 0] - disp.squeeze(1) * 2.0 / (w0 - 1))
+    return F.grid_sample(im_src, grid, padding_mode="zeros", align_corners=True)
+
+
+@pytest.mark.parametrize("fliplr", [False, True])
+@pytest.mark.parametrize("left_top,scale", [((0, 0), 1), ((3, 2), 1), ((4, 4), 2)])
+def test_imwarp_matches_torch_grid_sample(rng, fliplr, left_top, scale):
+    h0, w0 = 24, 32
+    h, w = 10, 12
+    im = rng.rand(2, h0, w0, 3).astype(np.float32)
+    disp = (rng.rand(2, h, w, 1) * 6 - 1).astype(np.float32)
+    ours = np.asarray(
+        imwarp(jnp.asarray(im), jnp.asarray(disp), fliplr=fliplr, left_top=left_top,
+               scale_factor=scale, eps=0.0)
+    )
+    theirs = _torch_imwrap(
+        torch.from_numpy(to_nchw(im)),
+        torch.from_numpy(np.transpose(disp, (0, 3, 1, 2))),
+        fliplr=fliplr,
+        left_top=left_top,
+        scale_factor=scale,
+    ).numpy()
+    np.testing.assert_allclose(ours, to_nhwc(theirs), rtol=1e-4, atol=1e-5)
+
+
+def test_imwarp_shifts_columns(rng):
+    # constant disparity k shifts the image right by k: out[x] = src[x-k]
+    im = rng.rand(1, 4, 16, 1).astype(np.float32)
+    disp = np.full((1, 4, 16, 1), 3.0, np.float32)
+    out = np.asarray(imwarp(jnp.asarray(im), jnp.asarray(disp), eps=0.0))
+    np.testing.assert_allclose(out[:, :, 3:, :], im[:, :, :-3, :], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out[:, :, :3, :], 0.0, atol=1e-6)
+
+
+def test_imwarp_differentiable():
+    im = jnp.ones((1, 6, 8, 1))
+    disp = jnp.full((1, 6, 8, 1), 1.5)
+    g = jax.grad(lambda d: jnp.sum(imwarp(im, d, eps=0.0)))(disp)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+# ---------------------------------------------------------------- ssim
+
+
+def _torch_ssim_ref(img1, img2, window_size=11):
+    """Reference losses/SSIM.py:24-42 (_ssim with window/channel, groups=1)."""
+    from math import exp
+
+    channel = img1.shape[1]
+    gauss = torch.tensor(
+        [exp(-((x - window_size // 2) ** 2) / (2 * 1.5**2)) for x in range(window_size)]
+    )
+    gauss = (gauss / gauss.sum()).float()
+    _2d = gauss.unsqueeze(1).mm(gauss.unsqueeze(0)).unsqueeze(0).unsqueeze(0)
+    window = _2d.expand(channel, 1, window_size, window_size).contiguous()
+    window = window.transpose(0, 1) / channel
+    pad = window_size // 2
+    mu1 = F.conv2d(img1, window, padding=pad, groups=1)
+    mu2 = F.conv2d(img2, window, padding=pad, groups=1)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1**2, mu2**2, mu1 * mu2
+    s1 = F.conv2d(img1 * img1, window, padding=pad, groups=1) - mu1_sq
+    s2 = F.conv2d(img2 * img2, window, padding=pad, groups=1) - mu2_sq
+    s12 = F.conv2d(img1 * img2, window, padding=pad, groups=1) - mu1_mu2
+    C1, C2 = 0.01**2, 0.03**2
+    return ((2 * mu1_mu2 + C1) * (2 * s12 + C2)) / ((mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
+
+
+def test_ssim_matches_reference(rng):
+    a = rng.rand(1, 20, 24, 3).astype(np.float32)
+    b = np.clip(a + 0.05 * rng.randn(1, 20, 24, 3).astype(np.float32), 0, 1)
+    ours = np.asarray(ssim_map(jnp.asarray(a), jnp.asarray(b)))
+    theirs = _torch_ssim_ref(
+        torch.from_numpy(to_nchw(a)), torch.from_numpy(to_nchw(b))
+    ).numpy()
+    assert theirs.shape[1] == 1
+    np.testing.assert_allclose(ours, to_nhwc(theirs), rtol=1e-4, atol=1e-5)
+
+
+def test_ssim_identity_is_one(rng):
+    a = rng.rand(1, 16, 16, 3).astype(np.float32)
+    m = np.asarray(ssim_map(jnp.asarray(a), jnp.asarray(a)))
+    # interior should be ~1 (borders too: identical images)
+    assert m.min() > 0.99
+
+
+# ---------------------------------------------------------------- corr1d
+
+
+def _torch_corr1d(fL, fR, D, stride=1, kernel_size=1):
+    """Reference models/util_conv.py:56-86 (Corr1d.forward)."""
+    bn, c, h, w = fL.shape
+    corrmap = torch.zeros(bn, D, h, w)
+    corrmap[:, 0] = (fL * fR).sum(dim=1)
+    for i in range(1, D):
+        if i >= w:
+            break
+        idx = i * stride
+        if idx >= w:
+            continue
+        corrmap[:, i, :, idx:] = (fL[:, :, :, idx:] * fR[:, :, :, :-idx]).sum(dim=1)
+    if kernel_size > 1:
+        corrmap = torch.nn.AvgPool2d(kernel_size, stride=1, padding=kernel_size // 2)(corrmap)
+    return corrmap
+
+
+@pytest.mark.parametrize("D,stride,k", [(8, 1, 1), (11, 2, 1), (5, 1, 3), (40, 1, 1)])
+def test_corr1d_reference_matches_torch(rng, D, stride, k):
+    fL = rng.randn(2, 6, 32, 16).astype(np.float32)  # N,H,W,C
+    fR = rng.randn(2, 6, 32, 16).astype(np.float32)
+    ours = np.asarray(corr1d(jnp.asarray(fL), jnp.asarray(fR), D, stride, k, use_pallas=False))
+    theirs = _torch_corr1d(
+        torch.from_numpy(to_nchw(fL)), torch.from_numpy(to_nchw(fR)), D, stride, k
+    ).numpy()
+    np.testing.assert_allclose(ours, to_nhwc(theirs), rtol=1e-4, atol=1e-4)
+
+
+def test_corr1d_pallas_interpret_matches_reference(rng):
+    fL = jnp.asarray(rng.randn(1, 8, 32, 16).astype(np.float32))
+    fR = jnp.asarray(rng.randn(1, 8, 32, 16).astype(np.float32))
+    ref = corr1d_reference(fL, fR, 9, 1)
+    out = corr1d(fL, fR, 9, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_corr1d_pallas_grad_matches_reference(rng):
+    fL = jnp.asarray(rng.randn(1, 4, 16, 8).astype(np.float32))
+    fR = jnp.asarray(rng.randn(1, 4, 16, 8).astype(np.float32))
+
+    def loss_p(a, b):
+        return jnp.sum(corr1d(a, b, 5, use_pallas=True, interpret=True) ** 2)
+
+    def loss_r(a, b):
+        return jnp.sum(corr1d(a, b, 5, use_pallas=False) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(fL, fR)
+    gr = jax.grad(loss_r, argnums=(0, 1))(fL, fR)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------- cost volume
+
+
+def _torch_cost_volume(fL, fR, D, mask_left=True):
+    """Reference psmnet/stackhourglass.py:124-133 / gcnet.py:131-135."""
+    n, f, h, w = fL.shape
+    cost = torch.zeros(n, 2 * f, D, h, w)
+    for i in range(D):
+        if i > 0:
+            if mask_left:
+                cost[:, :f, i, :, i:] = fL[:, :, :, i:]
+            else:
+                cost[:, :f, i] = fL
+            cost[:, f:, i, :, i:] = fR[:, :, :, :-i]
+        else:
+            cost[:, :f, i] = fL
+            cost[:, f:, i] = fR
+    return cost
+
+
+@pytest.mark.parametrize("mask_left", [True, False])
+def test_cost_volume_reference_matches_torch(rng, mask_left):
+    fL = rng.randn(1, 6, 20, 8).astype(np.float32)
+    fR = rng.randn(1, 6, 20, 8).astype(np.float32)
+    ours = np.asarray(
+        concat_cost_volume(jnp.asarray(fL), jnp.asarray(fR), 7, mask_left, use_pallas=False)
+    )
+    theirs = _torch_cost_volume(
+        torch.from_numpy(to_nchw(fL)), torch.from_numpy(to_nchw(fR)), 7, mask_left
+    ).numpy()
+    # theirs: (N, 2F, D, H, W) -> (N, D, H, W, 2F)
+    theirs = np.transpose(theirs, (0, 2, 3, 4, 1))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mask_left", [True, False])
+def test_cost_volume_pallas_interpret_matches_reference(rng, mask_left):
+    fL = jnp.asarray(rng.randn(1, 8, 24, 8).astype(np.float32))
+    fR = jnp.asarray(rng.randn(1, 8, 24, 8).astype(np.float32))
+    ref = concat_cost_volume_reference(fL, fR, 6, mask_left)
+    out = concat_cost_volume(fL, fR, 6, mask_left, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_cost_volume_pallas_grad_matches_reference(rng):
+    fL = jnp.asarray(rng.randn(1, 4, 16, 4).astype(np.float32))
+    fR = jnp.asarray(rng.randn(1, 4, 16, 4).astype(np.float32))
+
+    def loss(a, b, use_pallas):
+        cv = concat_cost_volume(a, b, 5, True, use_pallas=use_pallas, interpret=True)
+        return jnp.sum(cv * cv)
+
+    gp = jax.grad(lambda a, b: loss(a, b, True), argnums=(0, 1))(fL, fR)
+    gr = jax.grad(lambda a, b: loss(a, b, False), argnums=(0, 1))(fL, fR)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------- soft argmin
+
+
+def test_soft_argmin_peaks_at_min_cost(rng):
+    n, d, h, w = 1, 16, 4, 4
+    target = rng.randint(0, d, size=(n, h, w))
+    cost = np.ones((n, d, h, w), np.float32) * 50.0
+    for i in range(h):
+        for j in range(w):
+            cost[0, target[0, i, j], i, j] = 0.0
+    out = np.asarray(soft_argmin(jnp.asarray(cost), negate=True))
+    np.testing.assert_allclose(out[0, :, :, 0], target[0], atol=1e-2)
+
+
+def test_soft_argmin_matches_torch_softmax_expectation(rng):
+    cost = rng.randn(2, 12, 5, 6).astype(np.float32)
+    ours = np.asarray(soft_argmin(jnp.asarray(cost), negate=False))
+    p = torch.softmax(torch.from_numpy(cost), dim=1)
+    dvals = torch.arange(12).float()
+    theirs = torch.einsum("ndhw,d->nhw", p, dvals).numpy()[..., None]
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------- gradients
+
+
+def test_diff1_matches_torch_pad(rng):
+    x = rng.randn(1, 5, 7, 3).astype(np.float32)
+    xt = torch.from_numpy(to_nchw(x))
+    dx_ref = F.pad(xt[:, :, :, 1:] - xt[:, :, :, :-1], [0, 1, 0, 0]).numpy()
+    dy_ref = F.pad(xt[:, :, 1:] - xt[:, :, :-1], [0, 0, 0, 1]).numpy()
+    np.testing.assert_allclose(np.asarray(diff1_dx(jnp.asarray(x))), to_nhwc(dx_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(diff1_dy(jnp.asarray(x))), to_nhwc(dy_ref), atol=1e-6)
+
+
+def test_smoothness_terms_finite_and_shaped(rng):
+    img = jnp.asarray(rng.rand(2, 12, 14, 3).astype(np.float32))
+    disp = jnp.asarray(rng.rand(2, 12, 14, 1).astype(np.float32) * 20)
+    for fn in (c_ds1, c_ds2, c_ds3):
+        out = fn(img, disp)
+        assert out.shape == (2, 12, 14, 1)
+        assert np.all(np.isfinite(np.asarray(out)))
