@@ -1,0 +1,94 @@
+"""GCNet: concat cost volume + 3-D conv hourglass + soft-argmin.
+
+TPU-native re-design of models/gcnet.py: the D x H x W x 2F cost volume
+is built at 1/2 resolution by the Pallas ``concat_cost_volume`` kernel
+(reference builds it with a Python shift loop, gcnet.py:131-135), the
+3-D hourglass runs as NDHWC XLA convs on the MXU, and disparity is
+recovered with softmax(-cost) expectation (gcnet.py:104-110).
+
+Structure (gcnet.py:14-111):
+  * 2-D features: 5x5/s2 conv + 8 residual blocks + 3x3 conv -> 32ch @1/2
+  * volume: D = maxdisparity//2 concat volume (left half dense)
+  * encoder: stride-2 3D convs l21/l24/l27/l30 (+two refine convs each)
+  * decoder: five stride-2 transposed 3D convs l33..l37 with additive
+    crop-glue skips; skip branches l19/20, l22/23, l25/26, l28/29
+  * soft-argmin over the full-resolution 2D-long disparity axis
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops import concat_cost_volume, soft_argmin
+from .layers import ConvBN, DeconvBN, crop_add, res_stack_gc
+
+__all__ = ["GCNet"]
+
+_F = 32
+
+
+class _Feature2D(nn.Module):
+    """gcnet.py:14-29: 5x5/s2 conv(+BN+ReLU), 8 res blocks, plain 3x3."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = ConvBN(_F, 5, 2, bn=True, name="conv1")(x, train)
+        x = res_stack_gc(_F, blocks=8, name="block1")(x, train)
+        x = ConvBN(_F, 3, 1, relu=False, bn=False, name="conv2")(x, train)
+        return x
+
+
+class _Feature3D(nn.Module):
+    """gcnet.py:32-111: 3-D hourglass over the cost volume + soft-argmin."""
+
+    @nn.compact
+    def __call__(self, vol, train: bool = True):
+        c3 = lambda f, s, name: ConvBN(f, 3, s, dims=3, bn=True, name=name)
+        d3 = lambda f, name: DeconvBN(f, 3, 2, dims=3, bn=True, name=name)
+
+        x18 = vol
+        x21 = c3(_F * 2, 2, "l21")(x18, train)
+        x24 = c3(_F * 2, 2, "l24")(x21, train)
+        x27 = c3(_F * 2, 2, "l27")(x24, train)
+        x30 = c3(_F * 4, 2, "l30")(x27, train)
+        x31 = c3(_F * 4, 1, "l31")(x30, train)
+        x32 = c3(_F * 4, 1, "l32")(x31, train)
+
+        x29 = c3(_F * 2, 1, "l29")(c3(_F * 2, 1, "l28")(x27, train), train)
+        x33 = crop_add(d3(_F * 2, "l33")(x32, train), x29)
+
+        x26 = c3(_F * 2, 1, "l26")(c3(_F * 2, 1, "l25")(x24, train), train)
+        x34 = crop_add(d3(_F * 2, "l34")(x33, train), x26)
+
+        x23 = c3(_F * 2, 1, "l23")(c3(_F * 2, 1, "l22")(x21, train), train)
+        x35 = crop_add(d3(_F * 2, "l35")(x34, train), x23)
+
+        x20 = c3(_F, 1, "l20")(c3(_F, 1, "l19")(x18, train), train)
+        x36 = crop_add(d3(_F, "l36")(x35, train), x20)
+
+        x37 = DeconvBN(1, 3, 2, dims=3, bn=False, relu=False, name="l37")(x36, train)
+        # (N, D2, H2, W2, 1) -> soft-argmin over the doubled disparity axis
+        return soft_argmin(x37[..., 0], negate=True)
+
+
+class GCNet(nn.Module):
+    """models/gcnet.py:113-137. Returns a single full-resolution map."""
+
+    maxdisparity: int = 192
+    count_levels: int = 1
+
+    @nn.compact
+    def __call__(self, imL, imR, train: bool = True, clamp: bool = False):
+        assert imL.shape == imR.shape
+        feat = _Feature2D(name="layer2d")
+        fL = feat(imL, train)
+        fR = feat(imR, train)
+        D = self.maxdisparity // 2
+        vol = concat_cost_volume(fL, fR, D, mask_left=False)
+        disp = _Feature3D(name="layer3d")(vol, train)
+        h, w = imL.shape[1], imL.shape[2]
+        disp = disp[:, :h, :w, :]
+        if clamp:
+            disp = jnp.clip(disp, 1e-6, max(self.maxdisparity, w))
+        return [0], [disp]

@@ -1,0 +1,269 @@
+"""Shared flax building blocks for the model zoo.
+
+Re-creates the reference's layer builders and weight-init rules
+(models/util_conv.py) in NHWC/NDHWC flax:
+
+  * ``conv*``: weights ~ N(0, sqrt(2 / (prod(kernel) * out_ch)))
+    (util_conv.py:36-44 ``net_init``), biases ~ torch's fan-in uniform.
+  * ``deconv*``: torch ConvTranspose defaults (fan-in uniform), since the
+    reference's ``net_init`` isinstance checks never match transposed
+    convs (util_conv.py:32-53) and they keep torch's default init.
+  * torch deconv geometry p=(k-1)//2, op=s-(k-2p) (util_conv.py:132-137,
+    164-169) always yields an exact stride-x upsample; we express it as
+    lax.conv_transpose padding pairs (p, k-p-s).
+  * BatchNorm: momentum 0.1 (flax 0.9), eps 1e-5, init gamma=1 beta=0.
+    Under jit + GSPMD sharding, batch statistics are computed over the
+    global (sharded) batch, giving cross-replica sync-BN for free.
+
+Crop-glue helpers mirror models/util_fun.py: concat/add after cropping
+all operands to the smallest common spatial extent, absorbing the
+off-by-one sizes odd inputs produce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "ConvBN",
+    "DeconvBN",
+    "ResBlockGC",
+    "ResBlockPSM",
+    "res_stack_gc",
+    "crop_cat",
+    "crop_add",
+    "conv_kernel_init",
+    "torch_fanin_uniform",
+]
+
+
+def conv_kernel_init(key, shape, dtype=jnp.float32):
+    """Reference conv init: N(0, sqrt(2/n)), n = prod(kernel)*out_ch
+    (util_conv.py:36-44).  flax kernel shape is (*kernel, in, out)."""
+    n = float(np.prod(shape[:-2]) * shape[-1])
+    return jax.random.normal(key, shape, dtype) * jnp.sqrt(2.0 / n).astype(dtype)
+
+
+def scaled_conv_kernel_init(scale: float):
+    """Conv init scaled by ``scale`` — the reference multiplies its
+    disparity-head weights by 0.1 after net_init (dispnet.py:61-62)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return conv_kernel_init(key, shape, dtype) * scale
+
+    return init
+
+
+def torch_fanin_uniform(key, shape, dtype=jnp.float32):
+    """torch-0.3 _ConvNd default: U(-s, s), s = 1/sqrt(in_ch*prod(kernel))."""
+    fan_in = float(np.prod(shape[:-2]) * shape[-2])
+    s = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -s, s)
+
+
+def _fanin_uniform_bias(fan_in: float):
+    s = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -s, s)
+
+    return init
+
+
+def _fanin_uniform_kernel(fan_in: float):
+    """torch _ConvNd default with an explicit fan (the flax transpose-kernel
+    layout hides which axis is the input channel)."""
+    return _fanin_uniform_bias(fan_in)
+
+
+def _tup(v, n):
+    return tuple(v) if isinstance(v, (tuple, list)) else (v,) * n
+
+
+class ConvBN(nn.Module):
+    """Conv (2-D or 3-D by ``dims``) + optional BatchNorm + optional ReLU.
+
+    Mirrors conv2d_bn/conv3d_bn (util_conv.py:116-129,150-162) and
+    PSMNet's convbn (psmnet/submodule.py:10-19).  ``padding=None`` uses
+    torch's (k-1)//2; pass explicit per-dim pads to replicate quirks like
+    PSMNet's padding=dilation.
+    """
+
+    features: int
+    kernel: int | Sequence[int]
+    stride: int | Sequence[int] = 1
+    dims: int = 2
+    use_bias: bool = True
+    bn: bool = False
+    relu: bool = True
+    dilation: int | Sequence[int] = 1
+    padding: int | Sequence[int] | None = None
+    kernel_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        k = _tup(self.kernel, self.dims)
+        s = _tup(self.stride, self.dims)
+        dil = _tup(self.dilation, self.dims)
+        if self.padding is None:
+            pad = tuple((kk - 1) // 2 for kk in k)
+        else:
+            pad = _tup(self.padding, self.dims)
+        pad_pairs = [(p, p) for p in pad]
+        fan_in = float(np.prod(k)) * x.shape[-1]
+        kinit = (
+            conv_kernel_init
+            if self.kernel_scale == 1.0
+            else scaled_conv_kernel_init(self.kernel_scale)
+        )
+        x = nn.Conv(
+            self.features,
+            kernel_size=k,
+            strides=s,
+            padding=pad_pairs,
+            kernel_dilation=dil,
+            use_bias=self.use_bias,
+            kernel_init=kinit,
+            bias_init=_fanin_uniform_bias(fan_in),
+        )(x)
+        if self.bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5
+            )(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class DeconvBN(nn.Module):
+    """Transposed conv + optional BN + optional ReLU with torch geometry.
+
+    deconv2d_bn/deconv3d_bn (util_conv.py:132-147,164-179): output is an
+    exact ``stride``-factor spatial upsample for any input size.
+    """
+
+    features: int
+    kernel: int | Sequence[int]
+    stride: int | Sequence[int] = 2
+    dims: int = 2
+    use_bias: bool = True
+    bn: bool = False
+    relu: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        k = _tup(self.kernel, self.dims)
+        s = _tup(self.stride, self.dims)
+        # torch geometry p=(k-1)//2, op=s-(k-2p) maps to lax.conv_transpose
+        # pads (k-1-p, k-1-p+op) — verified numerically against torch
+        pad_pairs = []
+        for kk, ss in zip(k, s):
+            p = (kk - 1) // 2
+            op = ss - (kk - 2 * p)
+            pad_pairs.append((kk - 1 - p, kk - 1 - p + op))
+        fan_in = float(np.prod(k)) * x.shape[-1]
+        x = nn.ConvTranspose(
+            self.features,
+            kernel_size=k,
+            strides=s,
+            padding=pad_pairs,
+            use_bias=self.use_bias,
+            transpose_kernel=True,
+            kernel_init=_fanin_uniform_kernel(fan_in),
+            bias_init=_fanin_uniform_bias(fan_in),
+        )(x)
+        if self.bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5
+            )(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class ResBlockGC(nn.Module):
+    """GCNet-family residual BasicBlock (util_conv.py:181-210): two 3x3
+    conv+BN (no bias), ReLU after the first and after the residual add."""
+
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        residual = x
+        y = ConvBN(self.planes, 3, self.stride, use_bias=False, bn=True, relu=True)(x, train)
+        y = ConvBN(self.planes, 3, 1, use_bias=False, bn=True, relu=False)(y, train)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            residual = ConvBN(
+                self.planes, 1, self.stride, use_bias=False, bn=True, relu=False
+            )(x, train)
+        return nn.relu(y + residual)
+
+
+class ResBlockPSM(nn.Module):
+    """PSMNet BasicBlock (psmnet/submodule.py:21-43): convbn+relu then
+    convbn, residual add, *no* final ReLU; padding follows the
+    reference's padding=dilation convention."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        residual = x
+        y = ConvBN(
+            self.planes, 3, self.stride, use_bias=False, bn=True, relu=True,
+            dilation=self.dilation, padding=self.dilation,
+        )(x, train)
+        y = ConvBN(
+            self.planes, 3, 1, use_bias=False, bn=True, relu=False,
+            dilation=self.dilation, padding=self.dilation,
+        )(y, train)
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            residual = ConvBN(
+                self.planes, 1, self.stride, use_bias=False, bn=True, relu=False
+            )(x, train)
+        return y + residual
+
+
+class res_stack_gc(nn.Module):
+    """Stack of GCNet residual blocks (util_conv.py:250-269 conv_res)."""
+
+    planes: int
+    blocks: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = ResBlockGC(self.planes, self.stride)(x, train)
+        for _ in range(1, self.blocks):
+            x = ResBlockGC(self.planes, 1)(x, train)
+        return x
+
+
+def crop_cat(*xs):
+    """Crop NHWC/NDHWC operands to the min common spatial size, concat on
+    channels (util_fun.py:7-27 myCat2d/myCat3d)."""
+    nd = xs[0].ndim
+    mins = [min(x.shape[a] for x in xs) for a in range(1, nd - 1)]
+    out = []
+    for x in xs:
+        sl = (slice(None),) + tuple(slice(0, m) for m in mins) + (slice(None),)
+        out.append(x[sl])
+    return jnp.concatenate(out, axis=-1)
+
+
+def crop_add(a, b):
+    """Crop two operands to min common spatial size and add
+    (util_fun.py:30-51 myAdd2d/myAdd3d)."""
+    nd = a.ndim
+    mins = [min(a.shape[i], b.shape[i]) for i in range(1, nd - 1)]
+    sla = (slice(None),) + tuple(slice(0, m) for m in mins) + (slice(None),)
+    return a[sla] + b[sla]

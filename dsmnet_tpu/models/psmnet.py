@@ -1,0 +1,166 @@
+"""PSMNet: SPP feature pyramid + stacked 3-D hourglasses + regression.
+
+TPU-native re-design of models/psmnet/stackhourglass.py + submodule.py:
+NHWC features, the Pallas ``concat_cost_volume`` kernel for the D/4
+volume (reference Python loop stackhourglass.py:124-133, with the left
+half masked like the right), NDHWC 3-D convs, align-corners trilinear
+upsampling of the classifier costs to full resolution, and softmax
+expectation disparity regression (stackhourglass.py:147-168).
+
+Faithful quirks kept on purpose:
+  * convbn uses padding=dilation for every kernel (submodule.py:10-13),
+    so the SPP 1x1 branch convs pad by 1 before their bilinear upsample.
+  * the third hourglass receives ``presqu=pre1`` (stackhourglass.py:144).
+  * classifier costs accumulate: cost2 += cost1, cost3 += cost2.
+  * train mode emits [pred3, pred2, pred1] all at scale 0; ``count_levels``
+    is 1 so the loss weights the three heads equally (BASELINE.md notes
+    this differs from the paper's 0.5/0.7/1.0).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops import concat_cost_volume, resize_bilinear, resize_trilinear, soft_argmin
+from .layers import ConvBN, ResBlockPSM, crop_add, torch_fanin_uniform
+
+__all__ = ["PSMNet"]
+
+
+def _avg_pool(x, k):
+    """k x k average pool, stride k (SPP branches, submodule.py:81-95)."""
+    s = lax.reduce_window(
+        x, 0.0, lax.add, (1, k, k, 1), (1, k, k, 1), [(0, 0)] * 4
+    )
+    return s / float(k * k)
+
+
+class _FeatureExtraction(nn.Module):
+    """submodule.py:65-140: stem + 4 residual stages + SPP + fuse -> 32ch @1/4."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = ConvBN(32, 3, 2, use_bias=False, bn=True, padding=1, name="firstconv0")(x, train)
+        x = ConvBN(32, 3, 1, use_bias=False, bn=True, padding=1, name="firstconv1")(x, train)
+        x = ConvBN(32, 3, 1, use_bias=False, bn=True, padding=1, name="firstconv2")(x, train)
+
+        def stage(x, planes, blocks, stride, dilation, name):
+            x = ResBlockPSM(planes, stride, dilation, name=f"{name}_0")(x, train)
+            for i in range(1, blocks):
+                x = ResBlockPSM(planes, 1, dilation, name=f"{name}_{i}")(x, train)
+            return x
+
+        x = stage(x, 32, 3, 1, 1, "layer1")
+        raw = stage(x, 64, 16, 2, 1, "layer2")
+        x = stage(raw, 128, 3, 1, 1, "layer3")
+        skip = stage(x, 128, 3, 1, 2, "layer4")
+
+        h, w = skip.shape[1], skip.shape[2]
+        branches = []
+        for i, k in enumerate((64, 32, 16, 8)):
+            b = _avg_pool(skip, k)
+            b = ConvBN(32, 1, 1, use_bias=False, bn=True, padding=1, name=f"branch{i}")(b, train)
+            branches.append(resize_bilinear(b, (h, w)))
+
+        fused = jnp.concatenate([raw, skip] + branches[::-1], axis=-1)
+        fused = ConvBN(128, 3, 1, use_bias=False, bn=True, padding=1, name="lastconv0")(fused, train)
+        fused = ConvBN(32, 1, 1, use_bias=False, bn=False, relu=False, padding=0,
+                       name="lastconv1")(fused, train)
+        return fused
+
+
+class _Hourglass(nn.Module):
+    """stackhourglass.py:22-62: stride-2 down x2, deconv up x2 with
+    presqu/postsqu cross-connections."""
+
+    planes: int
+
+    @nn.compact
+    def __call__(self, x, presqu, postsqu, train: bool = True):
+        p = self.planes
+        c = lambda f, s, relu, name: ConvBN(
+            f, 3, s, dims=3, use_bias=False, bn=True, relu=relu, name=name
+        )
+        out = c(p * 2, 2, True, "conv1")(x, train)
+        pre = c(p * 2, 1, False, "conv2")(out, train)
+        pre = nn.relu(pre + postsqu) if postsqu is not None else nn.relu(pre)
+
+        out = c(p * 2, 2, True, "conv3")(pre, train)
+        out = c(p * 2, 1, True, "conv4")(out, train)
+
+        # conv5/conv6: ConvTranspose3d k=3 s=2 p=1 op=1 (exact 2x) + BN;
+        # torch geometry -> lax pads (k-1-p, k-1-p+op) = (1, 2)
+        def up(f, name, y):
+            y = nn.ConvTranspose(
+                f, (3, 3, 3), (2, 2, 2), padding=[(1, 2)] * 3, use_bias=False,
+                transpose_kernel=True, kernel_init=torch_fanin_uniform, name=name,
+            )(y)
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, name=f"{name}_bn")(y)
+
+        post = up(p * 2, "conv5", out)
+        post = nn.relu(crop_add(post, presqu if presqu is not None else pre))
+        out = up(p, "conv6", post)
+        return out, pre, post
+
+
+class _Classifier(nn.Module):
+    """stackhourglass.py:88-98: convbn3d+relu then 1-ch 3D conv."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = ConvBN(32, 3, 1, dims=3, use_bias=False, bn=True, name="c0")(x, train)
+        x = ConvBN(1, 3, 1, dims=3, use_bias=False, bn=False, relu=False, name="c1")(x, train)
+        return x
+
+
+class PSMNet(nn.Module):
+    """models/psmnet/stackhourglass.py:64-168 (stacked-hourglass variant)."""
+
+    maxdisparity: int = 192
+    count_levels: int = 1
+
+    @nn.compact
+    def __call__(self, imL, imR, train: bool = True, clamp: bool = False):
+        assert imL.shape == imR.shape
+        feat = _FeatureExtraction(name="feature_extraction")
+        fL = feat(imL, train)
+        fR = feat(imR, train)
+
+        D4 = self.maxdisparity // 4
+        cost = concat_cost_volume(fL, fR, D4, mask_left=True)
+
+        c3 = lambda f, relu, name: ConvBN(f, 3, 1, dims=3, use_bias=False, bn=True,
+                                          relu=relu, name=name)
+        cost0 = c3(32, True, "dres0_0")(cost, train)
+        cost0 = c3(32, True, "dres0_1")(cost0, train)
+        d1 = c3(32, True, "dres1_0")(cost0, train)
+        d1 = c3(32, False, "dres1_1")(d1, train)
+        cost0 = crop_add(d1, cost0)
+
+        out1, pre1, post1 = _Hourglass(32, name="dres2")(cost0, None, None, train)
+        out1 = crop_add(out1, cost0)
+        out2, pre2, post2 = _Hourglass(32, name="dres3")(out1, pre1, post1, train)
+        out2 = crop_add(out2, cost0)
+        out3, pre3, post3 = _Hourglass(32, name="dres4")(out2, pre1, post2, train)
+        out3 = crop_add(out3, cost0)
+
+        cost1 = _Classifier(name="classif1")(out1, train)
+        cost2 = crop_add(_Classifier(name="classif2")(out2, train), cost1)
+        cost3 = crop_add(_Classifier(name="classif3")(out3, train), cost2)
+
+        h, w = imL.shape[1], imL.shape[2]
+        full = (self.maxdisparity, h, w)
+
+        def regress(cost):
+            cost = resize_trilinear(cost, full)[..., 0]  # (N, D, H, W)
+            return soft_argmin(cost, negate=False)
+
+        pred3 = regress(cost3)
+        pred1 = regress(cost1)
+        pred2 = regress(cost2)
+        if clamp:
+            pred3 = jnp.clip(pred3, 1e-6, max(self.maxdisparity, w))
+        return [0, 0, 0], [pred3, pred2, pred1]

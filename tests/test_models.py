@@ -1,0 +1,114 @@
+"""Model zoo contract tests: shapes, pyramid structure, odd-size inputs.
+
+Mirrors the reference's smoke harness (models/test_models_debug.py:12-20)
+which forwards every registry model on odd-sized inputs, plus parameter
+and gradient sanity.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dsmnet_tpu.models import MODELS, create_model
+
+# small maxdisparity + sizes keep CPU tests quick; cost-volume models
+# need maxdisparity divisible by 4
+SMALL = dict(maxdisparity=32)
+
+
+def init_and_run(name, h, w, train=True, **kw):
+    model = create_model(name, **SMALL, **kw)
+    imL = jnp.asarray(np.random.RandomState(0).rand(1, h, w, 3), jnp.float32)
+    imR = jnp.asarray(np.random.RandomState(1).rand(1, h, w, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imL, imR, train=False)
+    out, _ = model.apply(
+        variables, imL, imR, train=train,
+        mutable=["batch_stats"] if train else [],
+    )
+    return model, variables, out
+
+
+@pytest.mark.parametrize("name", sorted(MODELS))
+def test_forward_shapes_even(name):
+    h, w = 64, 96
+    model, variables, (scales, disps) = init_and_run(name, h, w, train=False)
+    assert scales[0] == 0
+    assert disps[0].shape == (1, h, w, 1)
+    for s, d in zip(scales, disps):
+        assert d.shape[1] * 2**s >= h and d.shape[2] * 2**s >= w
+        assert d.shape[-1] == 1
+    assert len(disps) == len(scales)
+    assert np.all(np.isfinite(np.asarray(disps[0])))
+
+
+@pytest.mark.parametrize("name", ["dispnet", "dispnetcorr"])
+def test_forward_shapes_odd(name):
+    # odd sizes exercise the crop-glue (reference test_models_debug.py uses
+    # 257x513); keep it small on CPU
+    h, w = 65, 97
+    _, _, (scales, disps) = init_and_run(name, h, w, train=False)
+    assert disps[0].shape == (1, h, w, 1)
+
+
+def test_pyramid_levels_dispnet():
+    _, _, (scales, disps) = init_and_run("dispnet", 64, 64, train=False)
+    assert scales == [0, 1, 2, 3, 4, 5, 6]
+    assert disps[1].shape[1] == 32 and disps[6].shape[1] == 1
+
+
+def test_iresnet_refinement_outputs():
+    _, _, (scales, disps) = init_and_run("iresnet", 64, 64, train=False)
+    # 8 initial levels (6..0) + 3 refinement outputs (2,1,0)
+    assert scales == [0, 1, 2, 0, 1, 2, 3, 4, 5, 6]
+
+
+def test_psmnet_three_heads():
+    _, _, (scales, disps) = init_and_run("psmnet", 64, 64, train=True)
+    assert scales == [0, 0, 0]
+    for d in disps:
+        assert d.shape == (1, 64, 64, 1)
+
+
+def test_gcnet_single_head():
+    _, _, (scales, disps) = init_and_run("gcnet", 64, 64, train=False)
+    assert scales == [0]
+    assert disps[0].shape == (1, 64, 64, 1)
+    # soft-argmin output bounded by the (doubled) disparity range
+    arr = np.asarray(disps[0])
+    assert arr.min() >= 0.0 and arr.max() <= SMALL["maxdisparity"]
+
+
+def test_clamp_mode():
+    _, _, (scales, disps) = init_and_run("dispnet", 64, 64, train=False, )
+    model = create_model("dispnet", **SMALL)
+    imL = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), imL, imL, train=False)
+    _, disps = model.apply(variables, imL, imL, train=False, clamp=True)
+    assert np.asarray(disps[0]).min() >= 1e-6
+
+
+def test_dispnet_grad_flows():
+    model = create_model("dispnet", **SMALL)
+    imL = jnp.ones((1, 64, 64, 3)) * 0.5
+    imR = jnp.ones((1, 64, 64, 3)) * 0.4
+    variables = model.init(jax.random.PRNGKey(0), imL, imR, train=False)
+
+    def loss(params):
+        scales, disps = model.apply({"params": params}, imL, imR, train=False)
+        return sum(jnp.mean(jnp.abs(d)) for d in disps)
+
+    g = jax.grad(loss)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert any(np.any(np.asarray(l) != 0) for l in leaves)
+
+
+def test_param_init_statistics():
+    # conv kernels follow N(0, sqrt(2/(k*k*out))) (util_conv.py:36-44)
+    model = create_model("dispnet", **SMALL)
+    imL = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), imL, imL, train=False)
+    k = variables["params"]["conv1"]["Conv_0"]["kernel"]  # (7,7,6,64)
+    expected = np.sqrt(2.0 / (7 * 7 * 64))
+    assert abs(np.std(np.asarray(k)) - expected) / expected < 0.15
