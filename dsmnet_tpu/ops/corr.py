@@ -58,35 +58,36 @@ def corr1d_reference(fL: jnp.ndarray, fR: jnp.ndarray, D: int, stride: int = 1) 
     return jnp.stack(outs, axis=-1)
 
 
-def _corr_kernel(fL_ref, fR_ref, out_ref, *, D: int, stride: int, W: int):
-    fL = fL_ref[0]  # (TH, W, C)
-    fR = fR_ref[0]
+def _corr_kernel(fL_ref, fRp_ref, out_ref, *, D: int, stride: int, W: int, PD: int):
+    # fL (1, TH, W, C); fRp (1, TH, W+PD, C) left-padded with PD zero
+    # columns so every shift is a static full-width window and the w < idx
+    # region is zero for free (no in-kernel pad/concat — Mosaic-friendly).
+    fL = fL_ref[0]
     th = fL.shape[0]
-    outs = []
     for d in range(D):
         idx = d * stride
-        if d == 0:
-            outs.append(jnp.sum(fL * fR, axis=-1))
-        elif d >= W or idx >= W:
-            outs.append(jnp.zeros((th, W), fL.dtype))
+        if d < W and idx < W:
+            win = fRp_ref[0, :, PD - idx : PD - idx + W, :]
+            s = jnp.sum(fL * win, axis=-1)  # (TH, W)
         else:
-            s = jnp.sum(fL[:, idx:, :] * fR[:, : W - idx, :], axis=-1)
-            outs.append(jnp.pad(s, ((0, 0), (idx, 0))))
-    out_ref[0] = jnp.stack(outs, axis=-1)
+            s = jnp.zeros((th, W), fL.dtype)
+        out_ref[0, :, :, d] = s
 
 
 def _corr1d_pallas_fwd(fL, fR, D: int, stride: int, interpret: bool = False):
     n, h, w, c = fL.shape
+    pd = (D - 1) * stride
+    fRp = jnp.pad(fR, ((0, 0), (0, 0), (pd, 0), (0, 0)))
     th = 8
     while h % th:
         th //= 2
     grid = (n, h // th)
     return pl.pallas_call(
-        functools.partial(_corr_kernel, D=D, stride=stride, W=w),
+        functools.partial(_corr_kernel, D=D, stride=stride, W=w, PD=pd),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, th, w, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, w, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, w + pd, c), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, th, w, D), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, D), fL.dtype),
@@ -96,7 +97,7 @@ def _corr1d_pallas_fwd(fL, fR, D: int, stride: int, interpret: bool = False):
             bytes_accessed=(2 * n * h * w * c + n * h * w * D) * fL.dtype.itemsize,
             transcendentals=0,
         ),
-    )(fL, fR)
+    )(fL, fRp)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))

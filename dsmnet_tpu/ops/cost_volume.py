@@ -134,9 +134,18 @@ def concat_cost_volume(
     use_pallas: bool | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Concatenation cost volume, (N,H,W,F) x2 -> (N,D,H,W,2F)."""
+    """Concatenation cost volume, (N,H,W,F) x2 -> (N,D,H,W,2F).
+
+    If a parallel sharding context is active, the volume is constrained
+    to (data, -, spatial, -, -) so GSPMD spatially partitions the 3-D
+    conv stack that consumes it (the "context parallelism" axis of this
+    domain, SURVEY §5)."""
+    from ..parallel.context import shard_cost_volume
+
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        return _cost_volume_pallas(fL, fR, D, mask_left, interpret)
-    return concat_cost_volume_reference(fL, fR, D, mask_left)
+        vol = _cost_volume_pallas(fL, fR, D, mask_left, interpret)
+    else:
+        vol = concat_cost_volume_reference(fL, fR, D, mask_left)
+    return shard_cost_volume(vol)

@@ -1,0 +1,29 @@
+"""Parallelism: device meshes, DP/spatial sharding, sharding context."""
+
+from .context import (
+    ShardingContext,
+    activate,
+    current,
+    shard_activation,
+    shard_cost_volume,
+)
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = [
+    "ShardingContext",
+    "activate",
+    "current",
+    "shard_activation",
+    "shard_cost_volume",
+    "batch_sharding",
+    "make_mesh",
+    "replicate",
+    "replicated_sharding",
+    "shard_batch",
+]

@@ -1,0 +1,208 @@
+"""Data pipeline tests: PFM round-trip, path providers, validation cache,
+spatial augs with disparity fixups, dataset loading, batch loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dsmnet_tpu.data import (
+    BatchLoader,
+    SyntheticStereoDataset,
+    check_dataset,
+    dataset_by_name,
+    load_disp,
+    load_pfm,
+    paths_for_dataset,
+    save_pfm,
+)
+from dsmnet_tpu.data.transforms import (
+    SpatialStereo,
+    eval_transform,
+    normalize_np,
+    to_unit,
+)
+
+
+# ---------------------------------------------------------------- io
+
+
+def test_pfm_roundtrip(tmp_path, rng):
+    img = rng.rand(12, 17).astype(np.float32) * 100
+    p = str(tmp_path / "x.pfm")
+    save_pfm(p, img)
+    back, scale = load_pfm(p)
+    np.testing.assert_allclose(back, img, rtol=1e-6)
+    img3 = rng.rand(8, 9, 3).astype(np.float32)
+    p3 = str(tmp_path / "c.pfm")
+    save_pfm(p3, img3)
+    back3, _ = load_pfm(p3)
+    np.testing.assert_allclose(back3, img3, rtol=1e-6)
+
+
+def test_load_disp_zeroes_nonfinite(tmp_path):
+    img = np.full((4, 5), np.inf, np.float32)
+    img[0, 0] = 3.0
+    p = str(tmp_path / "d.pfm")
+    save_pfm(p, img)
+    d = load_disp(p)
+    assert d[0, 0] == 3.0
+    assert (d[1:] == 0).all()
+
+
+def test_load_disp_png_8bit_vs_precise(tmp_path):
+    import cv2
+
+    raw = np.zeros((4, 6), np.uint16)
+    raw[1, 1] = 300  # 300/256 = 1.171875 px
+    p = str(tmp_path / "d.png")
+    cv2.imwrite(p, raw)
+    # reference 8-bit path: cv2 collapses uint16 -> uint8 (value 300>>8 = 1)
+    ref = load_disp(p, precise=False)
+    assert ref[1, 1] == pytest.approx(1.0)
+    precise = load_disp(p, precise=True)
+    assert precise[1, 1] == pytest.approx(300 / 256.0)
+
+
+# ------------------------------------------------------------- paths
+
+
+def _make_kitti2015(tmp_path, n=3):
+    import cv2
+
+    root = str(tmp_path / "kitti")
+    for sub in ("image_2", "image_3", "disp_occ_0"):
+        os.makedirs(os.path.join(root, "data_scene_flow/training", sub))
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        name = f"{i:06d}_10.png"
+        for sub in ("image_2", "image_3"):
+            cv2.imwrite(
+                os.path.join(root, "data_scene_flow/training", sub, name),
+                (rng.rand(60, 80, 3) * 255).astype(np.uint8),
+            )
+        disp = (rng.rand(60, 80) * 20 * 256).astype(np.uint16)
+        cv2.imwrite(
+            os.path.join(root, "data_scene_flow/training/disp_occ_0", name), disp
+        )
+    return root
+
+
+def test_kitti2015_path_provider(tmp_path):
+    root = _make_kitti2015(tmp_path)
+    groups = paths_for_dataset("kitti2015-tr", root)
+    assert len(groups) == 3
+    left, right, disp = groups[0]
+    assert "image_2" in left and "image_3" in right and "disp_occ_0" in disp
+    assert all(os.path.exists(p) for p in groups[0])
+
+
+def test_check_dataset_and_cache(tmp_path):
+    root = _make_kitti2015(tmp_path)
+    checked = check_dataset("kitti2015-tr", root)
+    cols, size_min = checked.columns()
+    assert len(cols[0]) == 3 and cols[3] is None
+    assert size_min == (60, 80)
+    # cache file written and reused
+    assert os.path.exists(os.path.join(root, "paths", "kitti2015-tr.json"))
+    again = check_dataset("kitti2015-tr", root)
+    assert again.size_min == (60, 80)
+
+
+def test_dataset_by_name_loads_samples(tmp_path):
+    root = _make_kitti2015(tmp_path)
+    ds = dataset_by_name("kitti2015-tr", root, transform=eval_transform(), train=True)
+    img, name = ds[0]
+    assert img.shape == (60, 80, 7)
+    assert name.endswith("_10.png")
+
+
+# --------------------------------------------------------- transforms
+
+
+def test_spatial_shift_adjusts_disparity(rng):
+    h, w = 40, 60
+    img = rng.rand(h, w, 7).astype(np.float32) * 255
+    img[:, :, 6] = 5.0  # uniform nonzero disparity
+    sp = SpatialStereo(size_crop=(1000, 1000), scale_delt=0, shift_max=0,
+                       rng=np.random.RandomState(0))
+    shifted = sp._shift(img.copy(), 8)
+    # disparities gain the shift; right image columns moved left by 8
+    assert shifted.shape[1] == w - 8
+    np.testing.assert_allclose(shifted[:, :, 6], 13.0)
+    np.testing.assert_allclose(shifted[:, :-0 or None, 3:6][:, :w - 8],
+                               img[:, 8:, 3:6][: , :w - 8], atol=1e-5)
+
+
+def test_spatial_crop_size():
+    img = np.zeros((100, 200, 7), np.float32)
+    sp = SpatialStereo(size_crop=(96, 48), scale_delt=0, shift_max=16,
+                       rng=np.random.RandomState(1))
+    out = sp(img)
+    assert out.shape == (48, 96, 7)
+
+
+def test_spatial_crop_scale_multiplies_disparity():
+    img = np.zeros((100, 200, 7), np.float32)
+    img[:, :, 6] = 10.0
+    sp = SpatialStereo(size_crop=(96, 48), scale_delt=0.5, shift_max=0,
+                       rng=np.random.RandomState(2))
+    out = sp(img)
+    assert out.shape == (48, 96, 7)
+    vals = np.unique(out[:, :, 6].round(4))
+    assert len(vals) == 1 and vals[0] != 10.0  # scaled
+
+
+def test_to_unit_preserves_disparity():
+    img = np.full((4, 4, 7), 255.0, np.float32)
+    img[:, :, 6] = 33.0
+    out = to_unit(img)
+    assert out[:, :, :6].max() == pytest.approx(1.0)
+    assert out[0, 0, 6] == 33.0
+
+
+def test_normalize_groups():
+    img = np.zeros((2, 2, 7), np.float32)
+    out = normalize_np(img, groups=2)
+    # zeros -> -mean/std in both image groups; disparity untouched
+    assert out[0, 0, 0] == pytest.approx(-0.485 / 0.229, rel=1e-4)
+    assert out[0, 0, 3] == pytest.approx(-0.485 / 0.229, rel=1e-4)
+    assert out[0, 0, 6] == 0.0
+
+
+# ------------------------------------------------------------- loader
+
+
+def test_batch_loader_shapes_and_order():
+    ds = SyntheticStereoDataset(n=5, hw=(32, 48), max_disp=8)
+    loader = BatchLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    batches = list(loader)
+    assert len(batches) == 3  # drop_last=False
+    assert batches[0][0].shape == (2, 32, 48, 7)
+    assert batches[-1][0].shape == (1, 32, 48, 7)
+    assert batches[0][1][0] == "synthetic_000000.png"
+
+
+def test_batch_loader_shuffles_differently_by_epoch():
+    ds = SyntheticStereoDataset(n=8, hw=(16, 24), max_disp=4)
+    loader = BatchLoader(ds, batch_size=8, shuffle=True, num_workers=1, seed=3)
+    names1 = list(loader)[0][1]
+    names2 = list(loader)[0][1]
+    assert sorted(names1) == sorted(names2)
+    assert names1 != names2  # epoch-dependent shuffle
+
+
+def test_synthetic_dataset_warp_consistency():
+    # imL[x] must equal imR[x - d]: verify at integer disparity rows
+    ds = SyntheticStereoDataset(n=1, hw=(32, 64), max_disp=8)
+    img, _ = ds[0]
+    imL, imR, disp = img[..., :3], img[..., 3:6], img[..., 6]
+    row = 16
+    d = disp[row, 0]
+    if abs(d - round(d)) < 1e-6:
+        di = int(round(d))
+        np.testing.assert_allclose(
+            imL[row, di:, :], imR[row, : imR.shape[1] - di, :], atol=1e-3
+        )
+    # disparity is positive and within range
+    assert disp.min() > 0 and disp.max() <= 8
