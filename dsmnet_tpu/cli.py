@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scale_delt", default=0.0, type=float)
     p.add_argument("--num_workers", default=4, type=int)
     p.add_argument("--plot_curves", action="store_true")
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
+                   help="computation dtype for the conv stacks (bfloat16 = MXU-native)")
+    p.add_argument("--profile_dir", default="", type=str,
+                   help="write a jax.profiler trace of a few train steps here")
     # TPU-native parallelism
     p.add_argument("--mesh-data", default=0, type=int,
                    help="data-parallel mesh size (0 = all devices)")
@@ -194,7 +198,8 @@ def main(argv=None) -> None:
         print_freq=args.print_freq, batchsize=args.batchsize,
         output=args.output, dataset=args.dataset, dataset_val=args.dataset_val,
         path_weight=args.path_weight, flag_model=args.flag_model,
-        seed=args.seed, plot_curves=args.plot_curves,
+        seed=args.seed, plot_curves=args.plot_curves, dtype=args.dtype,
+        profile_dir=args.profile_dir,
     )
 
     mesh = None

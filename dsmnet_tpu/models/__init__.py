@@ -15,6 +15,7 @@ from .dispnet import DispNet, DispNetC
 from .gcnet import GCNet
 from .iresnet import IResNet
 from .psmnet import PSMNet
+from .psmnet_basic import PSMNetBasic
 
 MODELS = {
     "dispnet": DispNet,
@@ -22,6 +23,7 @@ MODELS = {
     "iresnet": IResNet,
     "gcnet": GCNet,
     "psmnet": PSMNet,
+    "psmnet_basic": PSMNetBasic,
 }
 
 
@@ -32,4 +34,13 @@ def create_model(name: str, maxdisparity: int = 192, **kwargs):
     return MODELS[name](maxdisparity=maxdisparity, **kwargs)
 
 
-__all__ = ["MODELS", "create_model", "DispNet", "DispNetC", "IResNet", "GCNet", "PSMNet"]
+__all__ = [
+    "MODELS",
+    "create_model",
+    "DispNet",
+    "DispNetC",
+    "IResNet",
+    "GCNet",
+    "PSMNet",
+    "PSMNetBasic",
+]

@@ -71,6 +71,7 @@ def _finalize(scales, outs, im_shape, clamp: bool, maxdisp: int, delt: float = 1
     pr0 = upsample2x(outs[0])[:, :h, :w, :]
     outs = [pr0] + outs
     scales = [0] + scales
+    outs = [o.astype(jnp.float32) for o in outs]  # heads back to f32
     if clamp:
         outs[0] = jnp.clip(outs[0], delt, max(maxdisp, w))
     return scales, outs

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..ops import concat_cost_volume, soft_argmin
 from .layers import ConvBN, DeconvBN, crop_add, res_stack_gc
 
-__all__ = ["GCNet"]
+__all__ = ["GCNet", "GCNetLR"]
 
 _F = 32
 
@@ -92,3 +92,37 @@ class GCNet(nn.Module):
         if clamp:
             disp = jnp.clip(disp, 1e-6, max(self.maxdisparity, w))
         return [0], [disp]
+
+
+class GCNetLR(nn.Module):
+    """Bidirectional GCNet (gcnet.py:139-167 gcnet_LR): shares the 2-D/3-D
+    towers and regresses both the left and the right disparity.
+
+    The right view is computed with the mirror trick the reference's own
+    deploy tool uses for right disparities (deploy/deploy.py:61-65):
+    swap + flip the pair, reuse the left-view volume/regularizer, and
+    un-mirror the result.  (The reference's gcnet_LR instead builds xR
+    with opposite shifts and runs the unmirrored regularizer — the same
+    correspondence geometry up to the conv weights' horizontal
+    orientation; this variant is unreachable from its factory.)"""
+
+    maxdisparity: int = 192
+
+    @nn.compact
+    def __call__(self, imL, imR, train: bool = True):
+        assert imL.shape == imR.shape
+        feat = _Feature2D(name="layer2d")
+        fL = feat(imL, train)
+        fR = feat(imR, train)
+        D = self.maxdisparity // 2
+        volL = concat_cost_volume(fL, fR, D, mask_left=False)
+        # right-view volume == left-view volume of the horizontally
+        # mirrored pair (swap + flip W), evaluated with shared weights
+        volR = concat_cost_volume(
+            jnp.flip(fR, axis=2), jnp.flip(fL, axis=2), D, mask_left=False
+        )
+        reg = _Feature3D(name="layer3d")
+        h, w = imL.shape[1], imL.shape[2]
+        oL = reg(volL, train)[:, :h, :w, :]
+        oR = jnp.flip(reg(volR, train), axis=2)[:, :h, :w, :]
+        return oL, oR

@@ -139,6 +139,7 @@ class IResNet(nn.Module):
             r_pr0 = r_pr0 + r_res0
             outs.insert(0, r_pr0); scales.insert(0, 0)
 
+        outs = [o.astype(jnp.float32) for o in outs]  # heads back to f32
         if clamp:
             outs[0] = jnp.clip(outs[0], 1e-6, max(self.maxdisparity, w))
         return scales, outs

@@ -22,6 +22,8 @@ off-by-one sizes odd inputs produce.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 from typing import Callable, Sequence
 
@@ -31,6 +33,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "compute_dtype",
+    "default_dtype",
     "ConvBN",
     "DeconvBN",
     "ResBlockGC",
@@ -86,6 +90,27 @@ def _tup(v, n):
     return tuple(v) if isinstance(v, (tuple, list)) else (v,) * n
 
 
+_compute_dtype = contextvars.ContextVar("dsmnet_compute_dtype", default=None)
+
+
+@contextlib.contextmanager
+def compute_dtype(dtype):
+    """Set the computation dtype for all ConvBN/DeconvBN layers traced
+    inside the context (e.g. ``jnp.bfloat16`` for MXU throughput).
+    Parameters stay float32; flax BatchNorm computes statistics in
+    float32 regardless.  Model outputs are cast back to float32 at the
+    disparity heads."""
+    token = _compute_dtype.set(dtype)
+    try:
+        yield
+    finally:
+        _compute_dtype.reset(token)
+
+
+def default_dtype():
+    return _compute_dtype.get()
+
+
 class ConvBN(nn.Module):
     """Conv (2-D or 3-D by ``dims``) + optional BatchNorm + optional ReLU.
 
@@ -105,6 +130,7 @@ class ConvBN(nn.Module):
     dilation: int | Sequence[int] = 1
     padding: int | Sequence[int] | None = None
     kernel_scale: float = 1.0
+    dtype: object = None  # computation dtype (bf16 for MXU); params stay f32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -131,10 +157,12 @@ class ConvBN(nn.Module):
             use_bias=self.use_bias,
             kernel_init=kinit,
             bias_init=_fanin_uniform_bias(fan_in),
+            dtype=self.dtype if self.dtype is not None else default_dtype(),
         )(x)
         if self.bn:
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype if self.dtype is not None else default_dtype(),
             )(x)
         if self.relu:
             x = nn.relu(x)
@@ -155,6 +183,7 @@ class DeconvBN(nn.Module):
     use_bias: bool = True
     bn: bool = False
     relu: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -177,10 +206,12 @@ class DeconvBN(nn.Module):
             transpose_kernel=True,
             kernel_init=_fanin_uniform_kernel(fan_in),
             bias_init=_fanin_uniform_bias(fan_in),
+            dtype=self.dtype if self.dtype is not None else default_dtype(),
         )(x)
         if self.bn:
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype if self.dtype is not None else default_dtype(),
             )(x)
         if self.relu:
             x = nn.relu(x)

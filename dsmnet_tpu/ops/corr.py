@@ -146,9 +146,9 @@ def corr1d(
     ``use_pallas=None`` auto-selects the Pallas kernel on TPU backends and
     the jnp reference elsewhere.
     """
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
+    from .config import pallas_enabled
+
+    if pallas_enabled(use_pallas):
         corr = _corr1d_pallas(fL, fR, D, stride, interpret)
     else:
         corr = corr1d_reference(fL, fR, D, stride)

@@ -55,20 +55,22 @@ def _cv_kernel(fL_ref, fRp_ref, out_ref, *, D: int, W: int, F: int, mask_left: b
     d = pl.program_id(2)
     fL = fL_ref[0]  # (TH, W, F)
     th = fL.shape[0]
-    # right half: fR[w - d] == fRp[w - d + D] -> window of width W at D - d
+    # right half: fR[w - d] == fRp[w - d + D] -> window of width W at D - d;
+    # the pad zeros already blank the w < d region, no mask needed
     right = fRp_ref[0, :, pl.ds(D - d, W), :]
-    col = jax.lax.broadcasted_iota(jnp.int32, (th, W, F), 1)
-    valid = (col >= d).astype(fL.dtype)
-    right = right * valid
-    left = fL * valid if mask_left else fL
-    out_ref[0, 0, :, :, :F] = left
-    out_ref[0, 0, :, :, F:] = right
+    if mask_left:
+        col = jax.lax.broadcasted_iota(jnp.int32, (th, W, F), 1)
+        left = fL * (col >= d).astype(fL.dtype)
+    else:
+        left = fL
+    # single full-lane store (2F lanes) instead of two half-lane stores
+    out_ref[0, 0] = jnp.concatenate([left, right], axis=-1)
 
 
 def _cost_volume_pallas_fwd(fL, fR, D: int, mask_left: bool, interpret: bool = False):
     n, h, w, f = fL.shape
     fRp = jnp.pad(fR, ((0, 0), (0, 0), (D, 0), (0, 0)))
-    th = 8
+    th = 16
     while h % th:
         th //= 2
     grid = (n, h // th, D)  # d fastest: fL/fR tiles stay resident across d
@@ -141,10 +143,9 @@ def concat_cost_volume(
     conv stack that consumes it (the "context parallelism" axis of this
     domain, SURVEY §5)."""
     from ..parallel.context import shard_cost_volume
+    from .config import pallas_enabled
 
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
+    if pallas_enabled(use_pallas):
         vol = _cost_volume_pallas(fL, fR, D, mask_left, interpret)
     else:
         vol = concat_cost_volume_reference(fL, fR, D, mask_left)

@@ -22,6 +22,9 @@ def soft_argmin(cost: jnp.ndarray, negate: bool = True) -> jnp.ndarray:
     ``negate=False`` matches PSMNet's classifier-probability convention.
     """
     n, d, h, w = cost.shape
+    # softmax + expectation in f32 regardless of the compute dtype: the
+    # expectation over up to 192 bins is precision-sensitive
+    cost = cost.astype(jnp.float32)
     logits = -cost if negate else cost
     p = jax.nn.softmax(logits, axis=1)
     dvals = jnp.arange(d, dtype=p.dtype)

@@ -14,6 +14,12 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
+from .multihost import (
+    global_batch_from_host_local,
+    host_shard,
+    init_distributed,
+    is_primary_host,
+)
 
 __all__ = [
     "ShardingContext",
@@ -26,4 +32,8 @@ __all__ = [
     "replicate",
     "replicated_sharding",
     "shard_batch",
+    "global_batch_from_host_local",
+    "host_shard",
+    "init_distributed",
+    "is_primary_host",
 ]

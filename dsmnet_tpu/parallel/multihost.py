@@ -1,0 +1,68 @@
+"""Multi-host (pod-slice) support.
+
+The reference is strictly single-process (SURVEY §2.6).  Here the
+multi-host story is the standard JAX one:
+
+  1. every host calls :func:`init_distributed` (jax.distributed) before
+     touching devices;
+  2. each host reads only its shard of the sample list
+     (:func:`host_shard` keeps epoch-consistent interleaving);
+  3. per-host numpy batches become one global sharded array via
+     :func:`global_batch_from_host_local` — gradient all-reduce and any
+     spatial-halo collectives are then inserted by XLA over ICI/DCN.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "init_distributed",
+    "host_shard",
+    "global_batch_from_host_local",
+    "is_primary_host",
+]
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Initialize jax.distributed (no-op when single-process with no
+    coordinator configured)."""
+    if coordinator_address is None and num_processes is None:
+        # rely on TPU environment auto-detection; harmless on one host
+        try:
+            jax.distributed.initialize()
+        except Exception:  # noqa: BLE001 — single-host fallback
+            return
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def is_primary_host() -> bool:
+    return jax.process_index() == 0
+
+
+def host_shard(items: list, process_index: int | None = None,
+               process_count: int | None = None) -> list:
+    """Deterministic per-host shard of a sample list (strided so shuffled
+    epochs stay balanced)."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return items[pi::pc]
+
+
+def global_batch_from_host_local(batch: np.ndarray, mesh: Mesh,
+                                 axis: str = "data"):
+    """Assemble per-host (local_N, ...) numpy batches into one global
+    jax.Array sharded over ``axis`` of the mesh."""
+    spec = P(axis, *([None] * (batch.ndim - 1)))
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), batch
+    )

@@ -68,6 +68,8 @@ class TrainConfig:
     flag_model: str = ""
     seed: int = 0
     plot_curves: bool = False  # matplotlib curve PNG per validation
+    dtype: str = "float32"  # computation dtype: float32 | bfloat16
+    profile_dir: str = ""  # jax.profiler trace dir (traces steps 10-15)
 
 
 class Trainer:
@@ -155,11 +157,18 @@ class Trainer:
     def _ctx(self):
         import contextlib
 
+        stack = contextlib.ExitStack()
         if self._sharding_ctx is not None:
             from ..parallel import activate
 
-            return activate(self._sharding_ctx)
-        return contextlib.nullcontext()
+            stack.enter_context(activate(self._sharding_ctx))
+        if self.cfg.dtype != "float32":
+            import jax.numpy as jnp
+
+            from ..models.layers import compute_dtype
+
+            stack.enter_context(compute_dtype(jnp.dtype(self.cfg.dtype)))
+        return stack
 
     def train_epoch(self) -> tuple[float, float, float]:
         cfg = self.cfg
@@ -170,6 +179,13 @@ class Trainer:
         meters = {k: AverageMeter() for k in ("loss", "d1", "epe", "bt", "dt")}
         t0 = time.time()
         for i, (batch, _names) in enumerate(self.loader_train):
+            # profiler window: steps 10-15 of the first profiled epoch
+            # (jax.profiler traces viewable in xprof/tensorboard)
+            if self.cfg.profile_dir and self.epoch == 0:
+                if i == 10:
+                    jax.profiler.start_trace(self.cfg.profile_dir)
+                elif i == 15:
+                    jax.profiler.stop_trace()
             n = batch.shape[0]
             batch = self._place_batch(batch)
             meters["dt"].update(time.time() - t0)
