@@ -212,11 +212,20 @@ class BatchLoader:
                     if stop.is_set():
                         return
                     samples = [self.dataset[int(i)] for i in idxs]
-                    imgs = np.stack([s[0] for s in samples]).astype(np.float32)
+                    arrs = [s[0] for s in samples]
+                    shapes = {a.shape for a in arrs}
+                    if len(shapes) > 1:
+                        raise ValueError(
+                            f"heterogeneous sample shapes in one batch: {shapes} "
+                            "(crop size must be strictly smaller than "
+                            "image width minus shift_max)"
+                        )
+                    imgs = np.stack(arrs).astype(np.float32)
                     names = [s[1] for s in samples]
                     q.put((imgs, names))
-            finally:
                 q.put(None)
+            except BaseException as exc:  # propagate to the consumer thread
+                q.put(exc)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -225,6 +234,8 @@ class BatchLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -143,12 +143,18 @@ def corr1d(
 ) -> jnp.ndarray:
     """1-D horizontal correlation, (N,H,W,C) x2 -> (N,H,W,D).
 
-    ``use_pallas=None`` auto-selects the Pallas kernel on TPU backends and
-    the jnp reference elsewhere.
+    Default implementation is the jnp shift formulation: measured at model
+    level on TPU v5e it outruns the current Pallas kernel (XLA fuses the
+    D static-shift multiplies into one pass; dispnetcorr fwd 375x1242:
+    3.7 ms vs 6.5 ms).  The Pallas kernel remains opt-in via
+    ``use_pallas=True`` / ``ops.config.use_pallas``.
     """
-    from .config import pallas_enabled
+    from . import config
 
-    if pallas_enabled(use_pallas):
+    if use_pallas is None:
+        # default False: the XLA-fused jnp path wins at model level
+        use_pallas = config.use_pallas if config.use_pallas is not None else False
+    if use_pallas:
         corr = _corr1d_pallas(fL, fR, D, stride, interpret)
     else:
         corr = corr1d_reference(fL, fR, D, stride)

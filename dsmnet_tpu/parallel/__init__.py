@@ -19,6 +19,7 @@ from .multihost import (
     host_shard,
     init_distributed,
     is_primary_host,
+    shard_dataset_for_host,
 )
 
 __all__ = [
@@ -36,4 +37,5 @@ __all__ = [
     "host_shard",
     "init_distributed",
     "is_primary_host",
+    "shard_dataset_for_host",
 ]

@@ -58,6 +58,20 @@ def host_shard(items: list, process_index: int | None = None,
     return items[pi::pc]
 
 
+def shard_dataset_for_host(dataset) -> None:
+    """Restrict a StereoDataset (or ConcatDataset) to this host's shard of
+    the sample lists, in place."""
+    if hasattr(dataset, "datasets"):
+        for d in dataset.datasets:
+            shard_dataset_for_host(d)
+        return
+    for attr in ("paths_img_left", "paths_img_right",
+                 "paths_disp_left", "paths_disp_right"):
+        lst = getattr(dataset, attr, None)
+        if lst is not None:
+            setattr(dataset, attr, host_shard(lst))
+
+
 def global_batch_from_host_local(batch: np.ndarray, mesh: Mesh,
                                  axis: str = "data"):
     """Assemble per-host (local_N, ...) numpy batches into one global

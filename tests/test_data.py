@@ -206,3 +206,17 @@ def test_synthetic_dataset_warp_consistency():
         )
     # disparity is positive and within range
     assert disp.min() > 0 and disp.max() <= 8
+
+
+def test_batch_loader_propagates_worker_errors():
+    class BadDataset:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            # heterogeneous shapes within one batch
+            return np.zeros((4, 4 + i, 3), np.float32), f"s{i}"
+
+    loader = BatchLoader(BadDataset(), batch_size=2, num_workers=1)
+    with pytest.raises(ValueError, match="heterogeneous"):
+        list(loader)

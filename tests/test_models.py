@@ -112,3 +112,16 @@ def test_param_init_statistics():
     k = variables["params"]["conv1"]["Conv_0"]["kernel"]  # (7,7,6,64)
     expected = np.sqrt(2.0 / (7 * 7 * 64))
     assert abs(np.std(np.asarray(k)) - expected) / expected < 0.15
+
+
+def test_gcnet_lr_bidirectional():
+    import jax
+    from dsmnet_tpu.models.gcnet import GCNetLR
+
+    model = GCNetLR(maxdisparity=16)
+    imL = jnp.asarray(np.random.RandomState(0).rand(1, 32, 64, 3), jnp.float32)
+    imR = jnp.asarray(np.random.RandomState(1).rand(1, 32, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imL, imR, train=False)
+    oL, oR = model.apply(variables, imL, imR, train=False)
+    assert oL.shape == (1, 32, 64, 1) and oR.shape == (1, 32, 64, 1)
+    assert np.all(np.isfinite(np.asarray(oL)))
