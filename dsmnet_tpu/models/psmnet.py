@@ -24,7 +24,15 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops import concat_cost_volume, resize_bilinear, resize_trilinear, soft_argmin
-from .layers import ConvBN, ResBlockPSM, crop_add, torch_fanin_uniform
+from ..ops.fused_costvol import cost_volume_conv3x3
+from .layers import (
+    ConvBN,
+    ResBlockPSM,
+    conv_kernel_init,
+    crop_add,
+    default_dtype,
+    torch_fanin_uniform,
+)
 
 __all__ = ["PSMNet"]
 
@@ -106,6 +114,32 @@ class _Hourglass(nn.Module):
         return out, pre, post
 
 
+class _FusedStem(nn.Module):
+    """Cost-volume build + dres0 first conv, fused (ops/fused_costvol.py):
+    the D/4 x H x W x 2F volume is never materialized."""
+
+    features: int
+    D: int
+    mask_left: bool = True
+
+    @nn.compact
+    def __call__(self, fL, fR, train: bool = True):
+        f2 = 2 * fL.shape[-1]
+        kernel = self.param(
+            "kernel", conv_kernel_init, (3, 3, 3, f2, self.features)
+        )
+        dt = default_dtype()
+        if dt is not None:
+            kernel = kernel.astype(dt)
+            fL = fL.astype(dt)
+            fR = fR.astype(dt)
+        x = cost_volume_conv3x3(fL, fR, kernel, self.D, self.mask_left)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt
+        )(x)
+        return nn.relu(x)
+
+
 class _Classifier(nn.Module):
     """stackhourglass.py:88-98: convbn3d+relu then 1-ch 3D conv."""
 
@@ -121,6 +155,7 @@ class PSMNet(nn.Module):
 
     maxdisparity: int = 192
     count_levels: int = 1
+    fused_stem: bool = True  # fuse volume build + dres0 first conv
 
     @nn.compact
     def __call__(self, imL, imR, train: bool = True, clamp: bool = False):
@@ -130,11 +165,14 @@ class PSMNet(nn.Module):
         fR = feat(imR, train)
 
         D4 = self.maxdisparity // 4
-        cost = concat_cost_volume(fL, fR, D4, mask_left=True)
 
         c3 = lambda f, relu, name: ConvBN(f, 3, 1, dims=3, use_bias=False, bn=True,
                                           relu=relu, name=name)
-        cost0 = c3(32, True, "dres0_0")(cost, train)
+        if self.fused_stem:
+            cost0 = _FusedStem(32, D4, name="dres0_0")(fL, fR, train)
+        else:
+            cost = concat_cost_volume(fL, fR, D4, mask_left=True)
+            cost0 = c3(32, True, "dres0_0")(cost, train)
         cost0 = c3(32, True, "dres0_1")(cost0, train)
         d1 = c3(32, True, "dres1_0")(cost0, train)
         d1 = c3(32, False, "dres1_1")(d1, train)

@@ -145,6 +145,11 @@ def concat_cost_volume(
     from ..parallel.context import shard_cost_volume
     from .config import pallas_enabled
 
+    if fL.dtype == jnp.bfloat16:
+        # the kernel's dynamic sublane slice needs 16-row alignment for
+        # bf16 tiles, which the per-d offset cannot guarantee — Mosaic
+        # rejects it; XLA's pad+concat handles bf16 fine
+        use_pallas = False
     if pallas_enabled(use_pallas):
         vol = _cost_volume_pallas(fL, fR, D, mask_left, interpret)
     else:

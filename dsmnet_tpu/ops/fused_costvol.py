@@ -1,0 +1,239 @@
+"""Fused concat-cost-volume + first 3-D convolution.
+
+PSMNet's matching stage builds a (N, D, H, W, 2F) volume and immediately
+convolves it (dres0, 3x3x3, SAME, no bias —
+psmnet/stackhourglass.py:124-135).  Because every volume voxel is just a
+(possibly masked / shifted) copy of a 2-D feature, the 3-D convolution
+collapses exactly:
+
+    out[d,h,w,o] = sum_{dd,dh,dw,c} K[dd,dh,dw,c,o] * vol[d+dd,h+dh,w+dw,c]
+
+  left half  (c < F):  vol = fL[h',w'] * [w' >= d']   (mask_left)
+  right half (c >= F): vol = fR[h', w'-d'] * [w'-d' >= 0]
+
+  =>  out[d,h,w,o] =   sum_{dd,dw} A_{dd,dw}[h,w,o]   * leftmask(d,w)
+                     + sum_{dd,dw} B_{dd,dw}[h, w+dw-(d+dd), o] * extent(d,w)
+
+with A/B small 2-D "tap maps" (3-tap dh convolutions of fL / fR against
+kernel slices) that are *independent of d*.  The O(D*H*W*27*2F) conv
+FLOPs become O(H*W*9*3*F) map FLOPs plus a pure shift/mask/add assembly
+— and the 2F-channel volume is never materialized (HBM traffic for the
+stage drops ~4x; the conv drops ~1000x in FLOPs).
+
+This module provides the exact jnp decomposition (differentiable, used
+as the spec and CPU path) and the composed reference for testing.
+Validity bookkeeping:
+  * A maps zero-pad w+dw out of [0, W-1] (volume extent) via the shift;
+  * B contributions additionally require 0 <= w+dw <= W-1 explicitly and
+    get u = w+dw-(d+dd) < 0 for free from index masking;
+  * taps with d+dd outside [0, D-1] are dropped (conv pad in D).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "cost_volume_conv3x3",
+    "cost_volume_conv3x3_reference",
+]
+
+_TAPS = [(dd, dw) for dd in (-1, 0, 1) for dw in (-1, 0, 1)]
+
+
+def cost_volume_conv3x3_reference(fL, fR, kernel, D: int, mask_left: bool = True):
+    """Golden composition: build the volume, run lax 3-D conv (SAME)."""
+    from .cost_volume import concat_cost_volume_reference
+
+    vol = concat_cost_volume_reference(fL, fR, D, mask_left)
+    dn = lax.conv_dimension_numbers(
+        vol.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC")
+    )
+    return lax.conv_general_dilated(
+        vol, kernel, (1, 1, 1), [(1, 1)] * 3, dimension_numbers=dn
+    )
+
+
+def _conv_dh(x, k):
+    """3-tap conv over H contracting features: x (N,H,W,F), k (3,F,O)."""
+    dn = lax.conv_dimension_numbers(x.shape, (3, 1) + k.shape[1:],
+                                    ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(
+        x, k[:, None], (1, 1), [(1, 1), (0, 0)], dimension_numbers=dn
+    )
+
+
+def _shift_w(x, s: int):
+    """x shifted so out[..., w, :] = x[..., w+s, :], zero padded."""
+    if s == 0:
+        return x
+    n, h, w, c = x.shape
+    if s > 0:
+        return jnp.pad(x[:, :, s:, :], ((0, 0), (0, 0), (0, s), (0, 0)))
+    return jnp.pad(x[:, :, :w + s, :], ((0, 0), (0, 0), (-s, 0), (0, 0)))
+
+
+def _tap_maps(fL, fR, kernel):
+    """A/B tap maps keyed by (dd, dw) — see module docstring."""
+    f = fL.shape[-1]
+    KL = kernel[..., :f, :]   # (3,3,3,F,O) over (dd,dh,dw)
+    KR = kernel[..., f:, :]
+    A, B = {}, {}
+    for i, dd in enumerate((-1, 0, 1)):
+        for k, dw in enumerate((-1, 0, 1)):
+            A[(dd, dw)] = _shift_w(_conv_dh(fL, KL[i, :, k]), dw)
+            B[(dd, dw)] = _conv_dh(fR, KR[i, :, k])
+    return A, B
+
+
+def _assemble_jnp(A, B, D, W, mask_left, dtype):
+    """Exact d-vectorized assembly of the tap maps (spec / CPU path)."""
+    some = next(iter(A.values()))
+    n, h, w, o = some.shape
+    d_iota = jnp.arange(D)[None, :, None, None, None]
+    w_iota = jnp.arange(w)[None, None, None, :, None]
+    out = jnp.zeros((n, D, h, w, o), dtype)
+    for dd, dw in _TAPS:
+        dval = (d_iota + dd >= 0) & (d_iota + dd <= D - 1)
+        wext = (w_iota + dw >= 0) & (w_iota + dw <= w - 1)
+        a = A[(dd, dw)][:, None]
+        if mask_left:
+            lmask = dval & (w_iota + dw >= d_iota + dd)
+        else:
+            lmask = dval
+        out = out + jnp.where(lmask, a, 0.0)
+        u = w_iota + dw - (d_iota + dd)
+        uval = dval & wext & (u >= 0)
+        uc = jnp.clip(u[0, :, 0, :, 0], 0, w - 1)
+        b = B[(dd, dw)]
+        bg = jnp.moveaxis(b[:, :, uc, :], 2, 1)
+        out = out + jnp.where(uval, bg, 0.0)
+    return out
+
+
+def cost_volume_conv3x3(fL, fR, kernel, D: int, mask_left: bool = True,
+                        use_pallas: bool | None = None, interpret: bool = False):
+    """Fused volume+conv via the tap-map decomposition.
+
+    fL/fR (N,H,W,F); kernel (3,3,3,2F,O) in DHWIO layout; returns
+    (N,D,H,W,O) — equal (up to float association) to
+    ``cost_volume_conv3x3_reference``.  On TPU the assembly runs as a
+    Pallas kernel that keeps all 18 tap maps VMEM-resident across the
+    d-axis so HBM traffic is essentially the output write.
+    """
+    from . import config
+
+    if use_pallas is None:
+        use_pallas = (config.use_pallas if config.use_pallas is not None
+                      else jax.default_backend() == "tpu")
+    from ..parallel.context import shard_cost_volume
+
+    if use_pallas:
+        out = _fused_pallas(fL, fR, kernel, D, mask_left, interpret)
+    else:
+        A, B = _tap_maps(fL, fR, kernel)
+        out = _assemble_jnp(A, B, D, fL.shape[2], mask_left, fL.dtype)
+    return shard_cost_volume(out)
+
+
+def _assemble_kernel(A_ref, Bp_ref, out_ref, *, D, W, O, PB,
+                     mask_left, taps):
+    d = pl.program_id(2)
+    th = A_ref.shape[2]
+    col = jax.lax.broadcasted_iota(jnp.int32, (th, W, 1), 1)
+    acc = jnp.zeros((th, W, O), jnp.float32)
+    for t, (dd, dw) in enumerate(taps):
+        valid_d = ((d + dd >= 0) & (d + dd <= D - 1))
+        vd = valid_d.astype(jnp.float32)
+        # left tap
+        a = A_ref[t, 0].astype(jnp.float32)
+        if mask_left:
+            m = (col >= d + (dd - dw)).astype(jnp.float32)
+            a = a * m
+        acc = acc + a * vd
+        # right tap: B at u = w + dw - (d + dd); Bp is left-padded by PB
+        off = PB + dw - d - dd  # always >= 1 for valid d (PB = D + 2)
+        b = Bp_ref[t, 0, :, pl.ds(off, W), :].astype(jnp.float32)
+        if dw == 1:
+            # volume extent: w + 1 <= W-1 fails at the last column
+            m = (col <= W - 2).astype(jnp.float32)
+            b = b * m
+        elif dw == -1:
+            m = (col >= 1).astype(jnp.float32)
+            b = b * m
+        acc = acc + b * vd
+    out_ref[0, 0] = acc.astype(out_ref.dtype)
+
+
+def _fused_pallas_fwd(fL, fR, kernel, D, mask_left, interpret=False):
+    in_dtype = fL.dtype
+    if in_dtype == jnp.bfloat16:
+        # dynamic sublane slices need 16-row alignment for bf16 tiles;
+        # run the (small) tap maps and assembly in f32 instead
+        fL = fL.astype(jnp.float32)
+        fR = fR.astype(jnp.float32)
+        kernel = kernel.astype(jnp.float32)
+    A, B = _tap_maps(fL, fR, kernel)
+    n, h, w, o = A[_TAPS[0]].shape
+    pb = D + 2
+    # left pad pb (covers u down to -(D+1)); right pad 2 (slice can look one
+    # past W for masked taps at the boundary)
+    A_stack = jnp.stack([A[t] for t in _TAPS])                    # (9,N,H,W,O)
+    B_stack = jnp.stack(
+        [jnp.pad(B[t], ((0, 0), (0, 0), (pb, 2), (0, 0))) for t in _TAPS]
+    )                                                             # (9,N,H,W+PB+2,O)
+    th = 8
+    while h % th:
+        th //= 2
+    grid = (n, h // th, D)  # d fastest: A/B tiles stay resident across d
+    return pl.pallas_call(
+        functools.partial(_assemble_kernel, D=D, W=w, O=o, PB=pb,
+                          mask_left=mask_left, taps=_TAPS),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((9, 1, th, w, o), lambda i, j, d: (0, i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, 1, th, w + pb + 2, o), lambda i, j, d: (0, i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, th, w, o), lambda i, j, d: (i, d, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, D, h, w, o), fL.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 18 * n * D * h * w * o,
+            bytes_accessed=(n * D * h * w * o + 18 * n * h * w * o)
+            * fL.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(A_stack, B_stack).astype(in_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_pallas(fL, fR, kernel, D, mask_left, interpret=False):
+    return _fused_pallas_fwd(fL, fR, kernel, D, mask_left, interpret)
+
+
+def _fused_vjp_fwd(fL, fR, kernel, D, mask_left, interpret):
+    return _fused_pallas_fwd(fL, fR, kernel, D, mask_left, interpret), (fL, fR, kernel)
+
+
+def _fused_vjp_bwd(D, mask_left, interpret, res, g):
+    fL, fR, kernel = res
+    # backward through the (differentiable) jnp decomposition
+    _, vjp = jax.vjp(
+        lambda a, b, k: cost_volume_conv3x3(a, b, k, D, mask_left, use_pallas=False),
+        fL, fR, kernel,
+    )
+    return vjp(g)
+
+
+_fused_pallas.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)
+
+

@@ -330,3 +330,66 @@ def test_smoothness_terms_finite_and_shaped(rng):
         out = fn(img, disp)
         assert out.shape == (2, 12, 14, 1)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+# ------------------------------------------------------- fused costvol+conv
+
+
+@pytest.mark.parametrize("mask_left", [True, False])
+def test_fused_costvol_conv_matches_composition(rng, mask_left):
+    from dsmnet_tpu.ops.fused_costvol import (
+        cost_volume_conv3x3,
+        cost_volume_conv3x3_reference,
+    )
+
+    fL = jnp.asarray(rng.randn(2, 8, 12, 4).astype(np.float32))
+    fR = jnp.asarray(rng.randn(2, 8, 12, 4).astype(np.float32))
+    K = jnp.asarray(rng.randn(3, 3, 3, 8, 5).astype(np.float32) * 0.1)
+    ref = cost_volume_conv3x3_reference(fL, fR, K, 6, mask_left)
+    out_j = cost_volume_conv3x3(fL, fR, K, 6, mask_left, use_pallas=False)
+    out_p = cost_volume_conv3x3(fL, fR, K, 6, mask_left, use_pallas=True,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out_j), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_costvol_conv_gradients(rng):
+    from dsmnet_tpu.ops.fused_costvol import cost_volume_conv3x3
+
+    fL = jnp.asarray(rng.randn(1, 4, 8, 4).astype(np.float32))
+    fR = jnp.asarray(rng.randn(1, 4, 8, 4).astype(np.float32))
+    K = jnp.asarray(rng.randn(3, 3, 3, 8, 3).astype(np.float32) * 0.1)
+
+    def loss(up):
+        return lambda a, b, k: jnp.sum(
+            cost_volume_conv3x3(a, b, k, 6, True, use_pallas=up, interpret=True) ** 2
+        )
+
+    gp = jax.grad(loss(True), argnums=(0, 1, 2))(fL, fR, K)
+    gr = jax.grad(loss(False), argnums=(0, 1, 2))(fL, fR, K)
+    for a, b in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_psmnet_fused_stem_equivalent(rng):
+    """PSMNet with the fused stem must match the unfused composition when
+    given the same parameters."""
+    import jax as _jax
+
+    from dsmnet_tpu.models import create_model
+
+    imL = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    imR = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    fused = create_model("psmnet", maxdisparity=32, fused_stem=True)
+    plain = create_model("psmnet", maxdisparity=32, fused_stem=False)
+    vf = fused.init(_jax.random.PRNGKey(0), imL, imR, train=False)
+    vp = _jax.tree_util.tree_map(lambda x: x, plain.init(_jax.random.PRNGKey(0), imL, imR, train=False))
+    # graft the fused kernel + BN into the plain structure
+    vp["params"]["dres0_0"]["Conv_0"]["kernel"] = vf["params"]["dres0_0"]["kernel"]
+    vp["params"]["dres0_0"]["BatchNorm_0"] = vf["params"]["dres0_0"]["BatchNorm_0"]
+    _, df = fused.apply(vf, imL, imR, train=False)
+    _, dp = plain.apply(vp, imL, imR, train=False)
+    # float association through 3 hourglasses + softmax expectation leaves
+    # sub-0.01px noise on the regressed disparity
+    diff = np.abs(np.asarray(df[0]) - np.asarray(dp[0]))
+    assert diff.max() < 0.05 and diff.mean() < 1e-4, (diff.max(), diff.mean())
