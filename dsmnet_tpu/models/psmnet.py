@@ -23,8 +23,9 @@ import flax.linen as nn
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops import concat_cost_volume, resize_bilinear, resize_trilinear, soft_argmin
+from ..ops import concat_cost_volume, resize_bilinear
 from ..ops.fused_costvol import cost_volume_conv3x3
+from ..ops.regression import trilinear_soft_argmin
 from .layers import (
     ConvBN,
     ResBlockPSM,
@@ -193,8 +194,9 @@ class PSMNet(nn.Module):
         full = (self.maxdisparity, h, w)
 
         def regress(cost):
-            cost = resize_trilinear(cost, full)[..., 0]  # (N, D, H, W)
-            return soft_argmin(cost, negate=False)
+            # chunked trilinear + softmax expectation: never materializes
+            # the (N, D, H, W) upsampled logits (ops/regression.py)
+            return trilinear_soft_argmin(cost, full, negate=False)
 
         pred3 = regress(cost3)
         pred1 = regress(cost1)

@@ -12,7 +12,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops import concat_cost_volume, resize_trilinear, soft_argmin
+from ..ops import concat_cost_volume
+from ..ops.regression import trilinear_soft_argmin
 from .layers import ConvBN, crop_add
 from .psmnet import _FeatureExtraction
 
@@ -45,8 +46,7 @@ class PSMNetBasic(nn.Module):
                      name="classify_1")(out, train)
 
         h, w = imL.shape[1], imL.shape[2]
-        cost_full = resize_trilinear(out, (self.maxdisparity, h, w))[..., 0]
-        pred = soft_argmin(cost_full, negate=False)
+        pred = trilinear_soft_argmin(out, (self.maxdisparity, h, w), negate=False)
         if clamp:
             pred = jnp.clip(pred, 1e-6, max(self.maxdisparity, w))
         return [0], [pred]

@@ -393,3 +393,14 @@ def test_psmnet_fused_stem_equivalent(rng):
     # sub-0.01px noise on the regressed disparity
     diff = np.abs(np.asarray(df[0]) - np.asarray(dp[0]))
     assert diff.max() < 0.05 and diff.mean() < 1e-4, (diff.max(), diff.mean())
+
+
+def test_trilinear_soft_argmin_exact(rng):
+    from dsmnet_tpu.ops import resize_trilinear, soft_argmin
+    from dsmnet_tpu.ops.regression import trilinear_soft_argmin
+
+    cost = jnp.asarray(rng.randn(2, 8, 6, 10, 1).astype(np.float32))
+    ref = soft_argmin(resize_trilinear(cost, (32, 24, 40))[..., 0], negate=False)
+    for chunk in (8, 3, 24):
+        out = trilinear_soft_argmin(cost, (32, 24, 40), h_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
