@@ -157,6 +157,7 @@ class PSMNet(nn.Module):
     maxdisparity: int = 192
     count_levels: int = 1
     fused_stem: bool = True  # fuse volume build + dres0 first conv
+    remat: bool = False  # rematerialize hourglasses (trade FLOPs for HBM)
 
     @nn.compact
     def __call__(self, imL, imR, train: bool = True, clamp: bool = False):
@@ -179,11 +180,12 @@ class PSMNet(nn.Module):
         d1 = c3(32, False, "dres1_1")(d1, train)
         cost0 = crop_add(d1, cost0)
 
-        out1, pre1, post1 = _Hourglass(32, name="dres2")(cost0, None, None, train)
+        HG = nn.remat(_Hourglass, static_argnums=(4,)) if self.remat else _Hourglass
+        out1, pre1, post1 = HG(32, name="dres2")(cost0, None, None, train)
         out1 = crop_add(out1, cost0)
-        out2, pre2, post2 = _Hourglass(32, name="dres3")(out1, pre1, post1, train)
+        out2, pre2, post2 = HG(32, name="dres3")(out1, pre1, post1, train)
         out2 = crop_add(out2, cost0)
-        out3, pre3, post3 = _Hourglass(32, name="dres4")(out2, pre1, post2, train)
+        out3, pre3, post3 = HG(32, name="dres4")(out2, pre1, post2, train)
         out3 = crop_add(out3, cost0)
 
         cost1 = _Classifier(name="classif1")(out1, train)
