@@ -92,13 +92,21 @@ def _tap_maps(fL, fR, kernel):
     return A, B
 
 
-def _assemble_jnp(A, B, D, W, mask_left, dtype):
-    """Exact d-vectorized assembly of the tap maps (spec / CPU path)."""
+def _assemble_jnp(A, B, D, W, mask_left, dtype, d_values=None, w_values=None):
+    """Exact assembly of the tap maps (spec / CPU path).
+
+    ``d_values`` / ``w_values`` restrict the output to those disparity
+    slices / image columns (used to patch the Pallas kernel's interior
+    formula at the boundaries)."""
     some = next(iter(A.values()))
     n, h, w, o = some.shape
-    d_iota = jnp.arange(D)[None, :, None, None, None]
-    w_iota = jnp.arange(w)[None, None, None, :, None]
-    out = jnp.zeros((n, D, h, w, o), dtype)
+    dv = jnp.arange(D) if d_values is None else jnp.asarray(d_values)
+    wv = jnp.arange(w) if w_values is None else jnp.asarray(w_values)
+    d_iota = dv[None, :, None, None, None]
+    w_iota = wv[None, None, None, :, None]
+    if w_values is not None:
+        A = {k: v[:, :, jnp.asarray(w_values), :] for k, v in A.items()}
+    out = jnp.zeros((n, dv.shape[0], h, wv.shape[0], o), dtype)
     for dd, dw in _TAPS:
         dval = (d_iota + dd >= 0) & (d_iota + dd <= D - 1)
         wext = (w_iota + dw >= 0) & (w_iota + dw <= w - 1)
@@ -142,32 +150,28 @@ def cost_volume_conv3x3(fL, fR, kernel, D: int, mask_left: bool = True,
     return shard_cost_volume(out)
 
 
-def _assemble_kernel(A_ref, Bp_ref, out_ref, *, D, W, O, PB,
-                     mask_left, taps):
+def _interior_kernel(Lc_ref, Bc_ref, out_ref, *, D, W, O, PB, NG,
+                     mask_left, ms, es):
+    """Interior-formula assembly: valid for d in [1, D-2] and w in
+    [1, W-2]; boundaries are patched exactly in XLA afterwards.
+
+    Lc: left maps grouped by m = dd-dw, packed on channels (th, W, NG*O).
+    Bc: right maps grouped by e = dw-dd, packed + left-padded PB cols.
+    """
     d = pl.program_id(2)
-    th = A_ref.shape[2]
-    col = jax.lax.broadcasted_iota(jnp.int32, (th, W, 1), 1)
+    th = Lc_ref.shape[1]
     acc = jnp.zeros((th, W, O), jnp.float32)
-    for t, (dd, dw) in enumerate(taps):
-        valid_d = ((d + dd >= 0) & (d + dd <= D - 1))
-        vd = valid_d.astype(jnp.float32)
-        # left tap
-        a = A_ref[t, 0].astype(jnp.float32)
-        if mask_left:
-            m = (col >= d + (dd - dw)).astype(jnp.float32)
-            a = a * m
-        acc = acc + a * vd
-        # right tap: B at u = w + dw - (d + dd); Bp is left-padded by PB
-        off = PB + dw - d - dd  # always >= 1 for valid d (PB = D + 2)
-        b = Bp_ref[t, 0, :, pl.ds(off, W), :].astype(jnp.float32)
-        if dw == 1:
-            # volume extent: w + 1 <= W-1 fails at the last column
-            m = (col <= W - 2).astype(jnp.float32)
-            b = b * m
-        elif dw == -1:
-            m = (col >= 1).astype(jnp.float32)
-            b = b * m
-        acc = acc + b * vd
+    if mask_left:
+        col = jax.lax.broadcasted_iota(jnp.int32, (th, W, 1), 1)
+        for g, m in enumerate(ms):
+            a = Lc_ref[0, :, :, g * O:(g + 1) * O].astype(jnp.float32)
+            acc = acc + a * (col >= d + m).astype(jnp.float32)
+    else:
+        acc = acc + Lc_ref[0, :, :, :O].astype(jnp.float32)
+    for g, e in enumerate(es):
+        off = PB + e - d  # >= 1 for d <= D-1 (PB = D + 2)
+        b = Bc_ref[0, :, pl.ds(off, W), g * O:(g + 1) * O]
+        acc = acc + b.astype(jnp.float32)
     out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
@@ -182,37 +186,53 @@ def _fused_pallas_fwd(fL, fR, kernel, D, mask_left, interpret=False):
     A, B = _tap_maps(fL, fR, kernel)
     n, h, w, o = A[_TAPS[0]].shape
     pb = D + 2
-    # left pad pb (covers u down to -(D+1)); right pad 2 (slice can look one
-    # past W for masked taps at the boundary)
-    A_stack = jnp.stack([A[t] for t in _TAPS])                    # (9,N,H,W,O)
-    B_stack = jnp.stack(
-        [jnp.pad(B[t], ((0, 0), (0, 0), (pb, 2), (0, 0))) for t in _TAPS]
-    )                                                             # (9,N,H,W+PB+2,O)
+
+    # interior grouping: left by m = dd-dw, right by e = dw-dd
+    ms = (-2, -1, 0, 1, 2)
+    es = (-2, -1, 0, 1, 2)
+    if mask_left:
+        Lg = [sum(A[(dd, dw)] for dd, dw in _TAPS if dd - dw == m) for m in ms]
+    else:
+        Lg = [sum(A.values())]
+    Bg = [sum(B[(dd, dw)] for dd, dw in _TAPS if dw - dd == e) for e in es]
+    Lc = jnp.concatenate(Lg, axis=-1)
+    Bc = jnp.concatenate(Bg, axis=-1)
+    Bc = jnp.pad(Bc, ((0, 0), (0, 0), (pb, 3), (0, 0)))
+
     th = 8
     while h % th:
         th //= 2
-    grid = (n, h // th, D)  # d fastest: A/B tiles stay resident across d
-    return pl.pallas_call(
-        functools.partial(_assemble_kernel, D=D, W=w, O=o, PB=pb,
-                          mask_left=mask_left, taps=_TAPS),
+    grid = (n, h // th, D)  # d fastest: Lc/Bc tiles stay resident across d
+    out = pl.pallas_call(
+        functools.partial(_interior_kernel, D=D, W=w, O=o, PB=pb,
+                          NG=len(es), mask_left=mask_left, ms=ms, es=es),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((9, 1, th, w, o), lambda i, j, d: (0, i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, 1, th, w + pb + 2, o), lambda i, j, d: (0, i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, w, Lc.shape[-1]),
+                         lambda i, j, d: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, w + pb + 3, Bc.shape[-1]),
+                         lambda i, j, d: (i, j, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, th, w, o), lambda i, j, d: (i, d, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, D, h, w, o), fL.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, D, h, w, o), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 18 * n * D * h * w * o,
-            bytes_accessed=(n * D * h * w * o + 18 * n * h * w * o)
-            * fL.dtype.itemsize,
+            flops=2 * 10 * n * D * h * w * o,
+            bytes_accessed=(n * D * h * w * o + 10 * n * h * w * o) * 4,
             transcendentals=0,
         ),
-    )(A_stack, B_stack).astype(in_dtype)
+    )(Lc, Bc)
+
+    # exact boundary patches (d = 0 / D-1 slices; w = 0 / W-1 columns)
+    d_patch = _assemble_jnp(A, B, D, w, mask_left, jnp.float32,
+                            d_values=[0, D - 1])
+    out = out.at[:, 0].set(d_patch[:, 0]).at[:, D - 1].set(d_patch[:, 1])
+    w_patch = _assemble_jnp(A, B, D, w, mask_left, jnp.float32,
+                            w_values=[0, w - 1])
+    out = out.at[:, :, :, 0, :].set(w_patch[..., 0, :])
+    out = out.at[:, :, :, w - 1, :].set(w_patch[..., 1, :])
+    return out.astype(in_dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

@@ -23,6 +23,8 @@ __all__ = [
     "c_ds1",
     "c_ds2",
     "c_ds3",
+    "c_ds3t",
+    "c_ds3t1",
 ]
 
 
@@ -83,17 +85,36 @@ def c_ds2(img: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
     return jnp.abs(diff2_dx(disp)) * wx + jnp.abs(diff2_dy(disp)) * wy
 
 
-def c_ds3(img: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
-    """Ratio-based smoothness on |d|+1 with mean-normalized max-channel
-    edge weights (loss.py:99-114)."""
-    d = jnp.abs(disp) + 1.0
-    ddx = jnp.clip(jnp.abs(diff_z_dx(d)), 0.0, 10.0)
-    ddy = jnp.clip(jnp.abs(diff_z_dy(d)), 0.0, 10.0)
-
+def _mean_normalized_edge_weights(img: jnp.ndarray):
+    """exp(-max_c |dI| / (0.5 mean |dI|)) weights shared by the C_ds3
+    family (loss.py:104-109)."""
     idx = jnp.abs(diff1_dx(img))
     idy = jnp.abs(diff1_dy(img))
     m_idx = jnp.mean(idx, axis=(1, 2, 3), keepdims=True)
     m_idy = jnp.mean(idy, axis=(1, 2, 3), keepdims=True)
     wx = jnp.exp(-jnp.max(idx, axis=-1, keepdims=True) / (0.5 * m_idx))
     wy = jnp.exp(-jnp.max(idy, axis=-1, keepdims=True) / (0.5 * m_idy))
+    return wx, wy
+
+
+def c_ds3(img: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
+    """Ratio-based smoothness on |d|+1 with mean-normalized max-channel
+    edge weights (loss.py:99-114)."""
+    d = jnp.abs(disp) + 1.0
+    ddx = jnp.clip(jnp.abs(diff_z_dx(d)), 0.0, 10.0)
+    ddy = jnp.clip(jnp.abs(diff_z_dy(d)), 0.0, 10.0)
+    wx, wy = _mean_normalized_edge_weights(img)
     return ddx * wx + ddy * wy
+
+
+def c_ds3t(img: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
+    """C_ds3t variant (loss.py:132-147): identical to c_ds3 (the reference
+    keeps both; retained for inventory parity)."""
+    return c_ds3(img, disp)
+
+
+def c_ds3t1(img: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
+    """C_ds3t1 variant (loss.py:116-130): first-order |dd| with the
+    mean-normalized edge weights."""
+    wx, wy = _mean_normalized_edge_weights(img)
+    return jnp.abs(diff1_dx(disp)) * wx + jnp.abs(diff1_dy(disp)) * wy

@@ -323,6 +323,17 @@ class Trainer:
         """Inference + PNG export loop (stereo.py:115-187)."""
         cfg = self.cfg
         dirpath = os.path.join(out_dir, f"{cfg.dataset}_{cfg.flag_model}")
+        # short-circuit: results already exported (stereo.py:124-137)
+        if os.path.exists(dirpath + ".json"):
+            with open(dirpath + ".json") as f:
+                prior = json.load(f)
+            for i, name in enumerate(prior["filename"]):
+                if prior["D1"]:
+                    log.info("submit(cached): %s | time %.3f D1 %.3f epe %.3f",
+                             name, prior["time"][i], prior["D1"][i], prior["epe"][i])
+                else:
+                    log.info("submit(cached): %s | time %.3f", name, prior["time"][i])
+            return prior
         os.makedirs(dirpath, exist_ok=True)
         results = {"filename": [], "time": [], "D1": [], "epe": []}
 
