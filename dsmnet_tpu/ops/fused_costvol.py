@@ -150,27 +150,31 @@ def cost_volume_conv3x3(fL, fR, kernel, D: int, mask_left: bool = True,
     return shard_cost_volume(out)
 
 
-def _interior_kernel(Lc_ref, Bc_ref, out_ref, *, D, W, O, PB, NG,
-                     mask_left, ms, es):
+def _interior_kernel(*refs, D, W, O, PB, mask_left, ms, es):
     """Interior-formula assembly: valid for d in [1, D-2] and w in
     [1, W-2]; boundaries are patched exactly in XLA afterwards.
 
-    Lc: left maps grouped by m = dd-dw, packed on channels (th, W, NG*O).
-    Bc: right maps grouped by e = dw-dd, packed + left-padded PB cols.
+    refs: len(ms) left maps grouped by m = dd-dw (or one dense map when
+    mask_left=False), then len(es) right maps grouped by e = dw-dd
+    (left-padded by PB columns), then the output block.
     """
+    n_left = len(ms) if mask_left else 1
+    L_refs = refs[:n_left]
+    B_refs = refs[n_left:n_left + len(es)]
+    out_ref = refs[n_left + len(es)]
     d = pl.program_id(2)
-    th = Lc_ref.shape[1]
+    th = L_refs[0].shape[1]
     acc = jnp.zeros((th, W, O), jnp.float32)
     if mask_left:
         col = jax.lax.broadcasted_iota(jnp.int32, (th, W, 1), 1)
         for g, m in enumerate(ms):
-            a = Lc_ref[0, :, :, g * O:(g + 1) * O].astype(jnp.float32)
+            a = L_refs[g][0].astype(jnp.float32)
             acc = acc + a * (col >= d + m).astype(jnp.float32)
     else:
-        acc = acc + Lc_ref[0, :, :, :O].astype(jnp.float32)
+        acc = acc + L_refs[0][0].astype(jnp.float32)
     for g, e in enumerate(es):
         off = PB + e - d  # >= 1 for d <= D-1 (PB = D + 2)
-        b = Bc_ref[0, :, pl.ds(off, W), g * O:(g + 1) * O]
+        b = B_refs[g][0, :, pl.ds(off, W), :]
         acc = acc + b.astype(jnp.float32)
     out_ref[0, 0] = acc.astype(out_ref.dtype)
 
@@ -194,25 +198,25 @@ def _fused_pallas_fwd(fL, fR, kernel, D, mask_left, interpret=False):
         Lg = [sum(A[(dd, dw)] for dd, dw in _TAPS if dd - dw == m) for m in ms]
     else:
         Lg = [sum(A.values())]
-    Bg = [sum(B[(dd, dw)] for dd, dw in _TAPS if dw - dd == e) for e in es]
-    Lc = jnp.concatenate(Lg, axis=-1)
-    Bc = jnp.concatenate(Bg, axis=-1)
-    Bc = jnp.pad(Bc, ((0, 0), (0, 0), (pb, 3), (0, 0)))
+    Bg = [
+        jnp.pad(sum(B[(dd, dw)] for dd, dw in _TAPS if dw - dd == e),
+                ((0, 0), (0, 0), (pb, 3), (0, 0)))
+        for e in es
+    ]
 
     th = 8
     while h % th:
         th //= 2
-    grid = (n, h // th, D)  # d fastest: Lc/Bc tiles stay resident across d
+    grid = (n, h // th, D)  # d fastest: map tiles stay resident across d
+    l_spec = pl.BlockSpec((1, th, w, o), lambda i, j, d: (i, j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    b_spec = pl.BlockSpec((1, th, w + pb + 3, o), lambda i, j, d: (i, j, 0, 0),
+                          memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_interior_kernel, D=D, W=w, O=o, PB=pb,
-                          NG=len(es), mask_left=mask_left, ms=ms, es=es),
+                          mask_left=mask_left, ms=ms, es=es),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, th, w, Lc.shape[-1]),
-                         lambda i, j, d: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, w + pb + 3, Bc.shape[-1]),
-                         lambda i, j, d: (i, j, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=[l_spec] * len(Lg) + [b_spec] * len(Bg),
         out_specs=pl.BlockSpec((1, 1, th, w, o), lambda i, j, d: (i, d, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, D, h, w, o), jnp.float32),
@@ -222,7 +226,7 @@ def _fused_pallas_fwd(fL, fR, kernel, D, mask_left, interpret=False):
             bytes_accessed=(n * D * h * w * o + 10 * n * h * w * o) * 4,
             transcendentals=0,
         ),
-    )(Lc, Bc)
+    )(*Lg, *Bg)
 
     # exact boundary patches (d = 0 / D-1 slices; w = 0 / W-1 columns)
     d_patch = _assemble_jnp(A, B, D, w, mask_left, jnp.float32,
