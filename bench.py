@@ -137,7 +137,9 @@ BASELINE_FPS = 16.7  # DispNet paper: 0.06 s/frame @ 1242x375
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--net", default="dispnetcorr")
-    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    # f32 measured faster than bf16 for the conv-dominated DispNetC forward
+    # on v5e (PERF.md); bf16 available for the cost-volume models
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     ap.add_argument("--ops", action="store_true")
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--memory", action="store_true")

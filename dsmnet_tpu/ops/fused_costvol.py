@@ -105,7 +105,8 @@ def _assemble_jnp(A, B, D, W, mask_left, dtype, d_values=None, w_values=None):
     d_iota = dv[None, :, None, None, None]
     w_iota = wv[None, None, None, :, None]
     if w_values is not None:
-        A = {k: v[:, :, jnp.asarray(w_values), :] for k, v in A.items()}
+        A = {k: jnp.stack([v[:, :, int(i), :] for i in w_values], axis=2)
+             for k, v in A.items()}
     out = jnp.zeros((n, dv.shape[0], h, wv.shape[0], o), dtype)
     for dd, dw in _TAPS:
         dval = (d_iota + dd >= 0) & (d_iota + dd <= D - 1)
@@ -228,14 +229,18 @@ def _fused_pallas_fwd(fL, fR, kernel, D, mask_left, interpret=False):
         ),
     )(*Lg, *Bg)
 
-    # exact boundary patches (d = 0 / D-1 slices; w = 0 / W-1 columns)
-    d_patch = _assemble_jnp(A, B, D, w, mask_left, jnp.float32,
-                            d_values=[0, D - 1])
-    out = out.at[:, 0].set(d_patch[:, 0]).at[:, D - 1].set(d_patch[:, 1])
+    # exact boundary patches (d = 0 / D-1 slices; w = 0 / W-1 columns),
+    # applied as concatenations (scatter updates on the big tensor crash
+    # the TPU compile helper)
     w_patch = _assemble_jnp(A, B, D, w, mask_left, jnp.float32,
-                            w_values=[0, w - 1])
-    out = out.at[:, :, :, 0, :].set(w_patch[..., 0, :])
-    out = out.at[:, :, :, w - 1, :].set(w_patch[..., 1, :])
+                            w_values=[0, w - 1])           # (N,D,H,2,O)
+    out = jnp.concatenate(
+        [w_patch[:, :, :, 0:1, :], out[:, :, :, 1:w - 1, :],
+         w_patch[:, :, :, 1:2, :]], axis=3)
+    d_patch = _assemble_jnp(A, B, D, w, mask_left, jnp.float32,
+                            d_values=[0, D - 1])           # (N,2,H,W,O)
+    out = jnp.concatenate(
+        [d_patch[:, 0:1], out[:, 1:D - 1], d_patch[:, 1:2]], axis=1)
     return out.astype(in_dtype)
 
 
