@@ -139,8 +139,10 @@ def cost_volume_conv3x3(fL, fR, kernel, D: int, mask_left: bool = True,
     from . import config
 
     if use_pallas is None:
-        use_pallas = (config.use_pallas if config.use_pallas is not None
-                      else jax.default_backend() == "tpu")
+        # default jnp: XLA's fused assembly measures faster than the
+        # current Pallas assemble (4.0 vs 6.2 ms at PSMNet production
+        # shape — dynamic sublane shifts dominate the kernel; see PERF.md)
+        use_pallas = config.use_pallas if config.use_pallas is not None else False
     from ..parallel.context import shard_cost_volume
 
     if use_pallas:
