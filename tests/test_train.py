@@ -169,3 +169,49 @@ def test_trainer_submit(tmp_path):
     out = t.submit(out_dir=str(tmp_path / "submit"))
     assert len(out["filename"]) == 2
     assert os.path.exists(str(tmp_path / "submit" / "synthetic_t" / "synthetic_000000.png"))
+
+
+def test_trainer_finetune_loads_weights_and_skips_curriculum(tmp_path):
+    from dsmnet_tpu.data.transforms import eval_transform
+
+    # first: brief training run produces a weights file
+    cfg = TrainConfig(mode="train", epochs=1, net="dispnet", maxdisparity=32,
+                      loss_name="supervised", batchsize=2, val_freq=1,
+                      print_freq=100, output=str(tmp_path / "out"),
+                      dataset="synthetic")
+    ds = SyntheticStereoDataset(n=2, hw=(64, 96), max_disp=16,
+                                transform=eval_transform())
+    loader = BatchLoader(ds, batch_size=2, num_workers=1)
+    t = Trainer(cfg, loader_train=loader, loader_val=loader)
+    t.start()
+    weight_path = os.path.join(t.dirpath, "weight_best.msgpack")
+    assert os.path.exists(weight_path)
+
+    cfg_ft = TrainConfig(mode="finetune", epochs=1, net="dispnet",
+                         maxdisparity=32, loss_name="supervised", batchsize=2,
+                         output=str(tmp_path / "out_ft"), dataset="synthetic",
+                         path_weight=weight_path, print_freq=100)
+    t2 = Trainer(cfg_ft, loader_train=loader, loader_val=loader)
+    # finetune: curriculum disabled -> full weight on the finest level
+    w = t2.spec.weights(0)
+    assert w[0] == 1.0
+    # weights actually loaded
+    a = jax.tree_util.tree_leaves(t.state.params)[0]
+    b = jax.tree_util.tree_leaves(t2.state.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_trainer_submit_cache(tmp_path):
+    from dsmnet_tpu.data.transforms import eval_transform
+
+    cfg = TrainConfig(mode="submit", net="dispnet", maxdisparity=32,
+                      loss_name="supervised", batchsize=1,
+                      output=str(tmp_path / "o"), dataset="synthetic",
+                      flag_model="x")
+    ds = SyntheticStereoDataset(n=1, hw=(64, 96), max_disp=16,
+                                transform=eval_transform())
+    loader = BatchLoader(ds, batch_size=1, num_workers=1)
+    t = Trainer(cfg, loader_val=loader)
+    out1 = t.submit(out_dir=str(tmp_path / "s"))
+    out2 = t.submit(out_dir=str(tmp_path / "s"))  # cached short-circuit
+    assert out1["filename"] == out2["filename"]
