@@ -1,5 +1,6 @@
 """Parallelism: device meshes, DP/spatial sharding, sharding context."""
 
+from .halo import halo_conv2d
 from .context import (
     ShardingContext,
     activate,
@@ -38,4 +39,5 @@ __all__ = [
     "init_distributed",
     "is_primary_host",
     "shard_dataset_for_host",
+    "halo_conv2d",
 ]

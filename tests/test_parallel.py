@@ -103,3 +103,35 @@ def test_spatially_sharded_gcnet_step():
     with parallel.activate(ctx):
         s2, m = step(state_r, batch_s, 1e-4, weights)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_halo_conv2d_matches_unsharded(rng):
+    from jax import lax
+
+    from dsmnet_tpu.parallel.halo import halo_conv2d
+
+    mesh = parallel.make_mesh(data=1, model=8)
+    x = jnp.asarray(rng.randn(2, 32, 16, 4).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 4, 6).astype(np.float32))
+    dn = lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+    ref = lax.conv_general_dilated(x, k, (1, 1), [(1, 1), (1, 1)],
+                                   dimension_numbers=dn)
+    out = halo_conv2d(x, k, mesh, axis_name="model")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_halo_conv2d_1x1(rng):
+    from jax import lax
+
+    from dsmnet_tpu.parallel.halo import halo_conv2d
+
+    mesh = parallel.make_mesh(data=1, model=4)
+    x = jnp.asarray(rng.randn(1, 16, 8, 3).astype(np.float32))
+    k = jnp.asarray(rng.randn(1, 1, 3, 5).astype(np.float32))
+    dn = lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+    ref = lax.conv_general_dilated(x, k, (1, 1), [(0, 0), (0, 0)],
+                                   dimension_numbers=dn)
+    out = halo_conv2d(x, k, mesh, axis_name="model")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4,
+                               atol=1e-5)
