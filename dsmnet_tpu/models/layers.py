@@ -111,6 +111,36 @@ def default_dtype():
     return _compute_dtype.get()
 
 
+class _FastConv3d(nn.Module):
+    """Drop-in for nn.Conv on eligible 3-D convs (stride 1, SAME,
+    undilated) using ops.conv3d.conv3d_same — same parameter structure
+    (kernel/bias under this module) and init, ~8x faster kernel-gradient
+    on TPU (PERF.md)."""
+
+    features: int
+    kernel: tuple
+    use_bias: bool
+    kernel_init: Callable
+    bias_init: Callable
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.conv3d import conv3d_same
+
+        kshape = (*self.kernel, x.shape[-1], self.features)
+        kern = self.param("kernel", self.kernel_init, kshape)
+        dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)
+            kern = kern.astype(dt)
+        y = conv3d_same(x, kern)
+        if self.use_bias:
+            b = self.param("bias", self.bias_init, (self.features,))
+            y = y + (b.astype(dt) if dt is not None else b)
+        return y
+
+
 class ConvBN(nn.Module):
     """Conv (2-D or 3-D by ``dims``) + optional BatchNorm + optional ReLU.
 
@@ -148,17 +178,31 @@ class ConvBN(nn.Module):
             if self.kernel_scale == 1.0
             else scaled_conv_kernel_init(self.kernel_scale)
         )
-        x = nn.Conv(
-            self.features,
-            kernel_size=k,
-            strides=s,
-            padding=pad_pairs,
-            kernel_dilation=dil,
-            use_bias=self.use_bias,
-            kernel_init=kinit,
-            bias_init=_fanin_uniform_bias(fan_in),
-            dtype=self.dtype if self.dtype is not None else default_dtype(),
-        )(x)
+        dt = self.dtype if self.dtype is not None else default_dtype()
+        fast3d = (
+            self.dims == 3
+            and all(ss == 1 for ss in s)
+            and all(dd == 1 for dd in dil)
+            and tuple(pad) == tuple((kk - 1) // 2 for kk in k)
+        )
+        if fast3d:
+            x = _FastConv3d(
+                self.features, k, self.use_bias, kinit,
+                _fanin_uniform_bias(fan_in), dt, name="Conv_0",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=k,
+                strides=s,
+                padding=pad_pairs,
+                kernel_dilation=dil,
+                use_bias=self.use_bias,
+                kernel_init=kinit,
+                bias_init=_fanin_uniform_bias(fan_in),
+                dtype=dt,
+                name="Conv_0",
+            )(x)
         if self.bn:
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,

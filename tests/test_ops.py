@@ -404,3 +404,30 @@ def test_trilinear_soft_argmin_exact(rng):
     for chunk in (8, 3, 24):
         out = trilinear_soft_argmin(cost, (32, 24, 40), h_chunk=chunk)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_conv3d_same_matches_lax(rng):
+    from jax import lax
+
+    from dsmnet_tpu.ops.conv3d import conv3d_same
+
+    x = jnp.asarray(rng.randn(2, 6, 8, 10, 4).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 4, 5).astype(np.float32) * 0.2)
+    dn = lax.conv_dimension_numbers(x.shape, k.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    ref = lax.conv_general_dilated(x, k, (1, 1, 1), [(1, 1)] * 3,
+                                   dimension_numbers=dn)
+    np.testing.assert_allclose(np.asarray(conv3d_same(x, k)), np.asarray(ref),
+                               atol=1e-5)
+
+    def l_ref(x, k):
+        return jnp.sum(lax.conv_general_dilated(
+            x, k, (1, 1, 1), [(1, 1)] * 3, dimension_numbers=dn) ** 3)
+
+    def l_our(x, k):
+        return jnp.sum(conv3d_same(x, k) ** 3)
+
+    gr = jax.grad(l_ref, argnums=(0, 1))(x, k)
+    go = jax.grad(l_our, argnums=(0, 1))(x, k)
+    for a, b in zip(gr, go):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-3)
