@@ -1,22 +1,27 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Mirrors the reference's only perf harness (models/test_models_time.py:
-11-45: timed forward passes at KITTI resolution 1x3x375x1242) on the
-flagship correlation model and reports frames/s.
+Primary contract metric (BASELINE.json north star): **PSMNet supervised
+train frames/s/chip** at the reference's crop resolution 384x768
+(DSMnet_train_sceneflow.sh recipe) — one fwd+bwd+Adam step through the
+full SPP + cost volume + stacked 3-D hourglass stack.
+
+``vs_baseline`` anchors against the PSMNet paper's published runtime of
+0.41 s/frame on its Titan Xp (arXiv:1803.08669, cited in BASELINE.md) —
+the only published speed number for the flagship model.  That number is
+*inference*; training costs ~3x more, so the ratio understates the true
+speedup.  The reference repo itself publishes no throughput numbers.
 
 Timing uses a serialized in-jit dependency chain with a host fetch
 (dsmnet_tpu/utils/benchtime.py) — naive block_until_ready loops are
 wildly optimistic through remote-executor TPU attachments.
 
-``vs_baseline`` compares against the DispNet paper's published runtime
-of 0.06 s/frame (~16.7 fps) on its 2015-era GPU (arXiv:1512.02134,
-cited in BASELINE.md) — the closest thing the reference repo has to a
-published speed number.
-
-Extras (not part of the single-line contract):
-  --ops    per-kernel microbenches (Pallas vs jnp corr / cost volume)
-  --train  PSMNet supervised train-step throughput at crop resolution
-  --dtype  bfloat16 switches the conv stacks to MXU-native compute
+Extras (as '#'-prefixed lines, not part of the single-line contract):
+  --fwd      per-model forward fps at KITTI resolution (mirrors the
+             reference's models/test_models_time.py harness)
+  --ops      per-kernel microbenches (Pallas vs jnp corr / cost volume)
+  --memory   peak-memory-vs-width sweep (mirrors test_models_memory.py)
+  --scaling  batch-size sweep: train fps vs per-chip batch
+  --dtype    bfloat16 switches the conv stacks to MXU-native compute
 """
 
 from __future__ import annotations
@@ -53,7 +58,7 @@ def bench_forward(net="dispnetcorr", h=375, w=1242, dtype="float32"):
     return 1.0 / t
 
 
-def bench_train(net="psmnet", h=256, w=512, batch=1, dtype="float32"):
+def bench_train(net="psmnet", h=384, w=768, batch=1, dtype="float32", remat=False):
     """Train-step throughput (fwd+bwd+Adam) at crop-ish resolution."""
     import contextlib
 
@@ -66,7 +71,8 @@ def bench_train(net="psmnet", h=256, w=512, batch=1, dtype="float32"):
     from dsmnet_tpu.train import create_train_state, make_supervised_train_step
     from dsmnet_tpu.utils import time_pytree_step
 
-    model = create_model(net, maxdisparity=192)
+    kwargs = {"remat": True} if remat else {}
+    model = create_model(net, maxdisparity=192, **kwargs)
     state, tx = create_train_state(model, jax.random.PRNGKey(0), sample_hw=(64, 128))
     step = make_supervised_train_step(model, tx)
     spec = parse_loss_name("supervised", model.count_levels, 1)
@@ -131,36 +137,48 @@ def bench_memory(net="dispnetcorr", widths=(512, 768, 1024), h=384):
     return out
 
 
-BASELINE_FPS = 16.7  # DispNet paper: 0.06 s/frame @ 1242x375
+BASELINE_TRAIN_FPS = 2.44  # PSMNet paper: 0.41 s/frame (inference!) @ Titan Xp
+BASELINE_FWD_FPS = 16.7    # DispNet paper: 0.06 s/frame @ 1242x375
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--net", default="dispnetcorr")
-    # f32 measured faster than bf16 for the conv-dominated DispNetC forward
-    # on v5e (PERF.md); bf16 available for the cost-volume models
-    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--net", default="psmnet")
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--batch", default=1, type=int)
+    ap.add_argument("--remat", action="store_true")
     ap.add_argument("--ops", action="store_true")
-    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--fwd", action="store_true")
     ap.add_argument("--memory", action="store_true")
+    ap.add_argument("--scaling", action="store_true")
     args = ap.parse_args()
 
     if args.ops:
         for k, v in bench_ops().items():
             print(f"# {k}: {v:.3f}")
-    if args.train:
-        fps = bench_train(dtype=args.dtype)
-        print(f"# psmnet_train_fps_256x512: {fps:.3f}")
+    if args.fwd:
+        for net in ("dispnet", "dispnetcorr", "iresnet", "gcnet", "psmnet"):
+            fps = bench_forward(net, dtype=args.dtype)
+            print(f"# {net}_fwd_fps_375x1242_{args.dtype}: {fps:.3f}")
     if args.memory:
         for w, b in bench_memory(args.net).items():
             print(f"# {args.net}_peak_bytes_w{w}: {b}")
+    if args.scaling:
+        for b in (1, 2, 4):
+            try:
+                fps = bench_train(args.net, batch=b, dtype=args.dtype,
+                                  remat=args.remat)
+                print(f"# {args.net}_train_fps_384x768_b{b}: {fps:.3f}")
+            except Exception as e:  # noqa: BLE001 — OOM at large batch
+                print(f"# {args.net}_train_fps_384x768_b{b}: failed ({type(e).__name__})")
 
-    fps = bench_forward(args.net, dtype=args.dtype)
+    fps = bench_train(args.net, batch=args.batch, dtype=args.dtype,
+                      remat=args.remat)
     print(json.dumps({
-        "metric": f"{args.net}_fwd_fps_375x1242_{args.dtype}",
+        "metric": f"{args.net}_train_fps_384x768_{args.dtype}_b{args.batch}",
         "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / BASELINE_TRAIN_FPS, 3),
     }))
 
 

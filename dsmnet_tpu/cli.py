@@ -59,11 +59,21 @@ def build_parser() -> argparse.ArgumentParser:
                    help="computation dtype for the conv stacks (bfloat16 = MXU-native)")
     p.add_argument("--profile_dir", default="", type=str,
                    help="write a jax.profiler trace of a few train steps here")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize heavy blocks (trade FLOPs for HBM)")
     # TPU-native parallelism
     p.add_argument("--mesh-data", default=0, type=int,
                    help="data-parallel mesh size (0 = all devices)")
     p.add_argument("--mesh-model", default=1, type=int,
                    help="spatial/model mesh size")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed; shard the dataset and "
+                        "batches per host (pod-slice training)")
+    p.add_argument("--coordinator", default="", type=str,
+                   help="multihost: coordinator address host:port "
+                        "(empty = TPU auto-detection)")
+    p.add_argument("--num_processes", default=0, type=int)
+    p.add_argument("--process_id", default=-1, type=int)
     # deploy
     p.add_argument("--path_left", default="10L.png", type=str)
     p.add_argument("--path_right", default="10R.png", type=str)
@@ -178,6 +188,15 @@ def main(argv=None) -> None:
         jax.config.update("jax_platforms", plat)
     args = build_parser().parse_args(argv)
 
+    if args.multihost:
+        from .parallel.multihost import init_distributed
+
+        init_distributed(
+            coordinator_address=args.coordinator or None,
+            num_processes=args.num_processes or None,
+            process_id=args.process_id if args.process_id >= 0 else None,
+        )
+
     if args.mode == "deploy":
         _deploy(args)
         return
@@ -190,6 +209,16 @@ def main(argv=None) -> None:
     spec = parse_loss_name(args.loss_name, probe.count_levels, 1)
     loader_train, loader_val = _make_loaders(args, spec)
 
+    if args.multihost:
+        import jax
+
+        if jax.process_count() > 1:
+            from .parallel.multihost import shard_dataset_for_host
+
+            for loader in (loader_train, loader_val):
+                if loader is not None:
+                    shard_dataset_for_host(loader.dataset)
+
     cfg = TrainConfig(
         mode=args.mode, epochs=args.epochs, net=args.net,
         maxdisparity=args.maxdisparity, loss_name=args.loss_name, lr=args.lr,
@@ -199,11 +228,11 @@ def main(argv=None) -> None:
         output=args.output, dataset=args.dataset, dataset_val=args.dataset_val,
         path_weight=args.path_weight, flag_model=args.flag_model,
         seed=args.seed, plot_curves=args.plot_curves, dtype=args.dtype,
-        profile_dir=args.profile_dir,
+        profile_dir=args.profile_dir, remat=args.remat,
     )
 
     mesh = None
-    if args.mesh_data != 1 or args.mesh_model != 1:
+    if args.mesh_data != 1 or args.mesh_model != 1 or args.multihost:
         import jax
 
         from .parallel import make_mesh

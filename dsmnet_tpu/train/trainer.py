@@ -70,6 +70,7 @@ class TrainConfig:
     plot_curves: bool = False  # matplotlib curve PNG per validation
     dtype: str = "float32"  # computation dtype: float32 | bfloat16
     profile_dir: str = ""  # jax.profiler trace dir (traces steps 10-15)
+    remat: bool = False  # rematerialize heavy blocks (trade FLOPs for HBM)
 
 
 class Trainer:
@@ -82,7 +83,15 @@ class Trainer:
         self.loader_val = loader_val
         self.mesh = mesh
 
-        self.model = create_model(cfg.net, cfg.maxdisparity)
+        model_kwargs = {}
+        if cfg.remat:
+            from ..models import MODELS
+
+            if any(f.name == "remat" for f in dataclasses.fields(MODELS[cfg.net])):
+                model_kwargs["remat"] = True
+            else:
+                log.warning("--remat requested but %s has no remat support", cfg.net)
+        self.model = create_model(cfg.net, cfg.maxdisparity, **model_kwargs)
         # finetune skips the curriculum (stereo.py:46)
         maxepoch_adjust = 0 if cfg.mode == "finetune" else int(cfg.lr_epoch0 * 3 // 4)
         self.spec: LossSpec = parse_loss_name(
@@ -147,8 +156,17 @@ class Trainer:
         return jnp.asarray(self.spec.weights(epoch))
 
     def _place_batch(self, batch):
-        """Host numpy batch -> device array (sharded over 'data' on a mesh)."""
+        """Host numpy batch -> device array (sharded over 'data' on a mesh).
+
+        Multi-host: each host supplies its local (local_N, ...) numpy batch
+        and the result is one global jax.Array sharded over 'data' across
+        the pod (reference obligation SURVEY §2.6 — the commented-out DDP
+        at stereo.py:34)."""
         if self.mesh is not None:
+            if jax.process_count() > 1:
+                from ..parallel.multihost import global_batch_from_host_local
+
+                return global_batch_from_host_local(np.asarray(batch), self.mesh)
             from ..parallel import shard_batch
 
             return shard_batch(jnp.asarray(batch), self.mesh)
@@ -364,7 +382,11 @@ class Trainer:
             else:
                 log.info("submit: %s | time %.3f", names[0], results["time"][-1])
             out_name = os.path.splitext(names[0])[0] + ".png"
-            cv2.imwrite(os.path.join(dirpath, out_name), disp[0, :, :, 0])
+            # KITTI submission convention: uint16 PNG at 1/256 px precision.
+            # (The reference wrote the raw float through cv2, silently
+            # truncating to uint8 — stereo.py:172-174; fixed here.)
+            d16 = np.clip(disp[0, :, :, 0] * 256.0, 0, 65535).astype(np.uint16)
+            cv2.imwrite(os.path.join(dirpath, out_name), d16)
         with open(dirpath + ".json", "w") as f:
             json.dump(results, f)
         return results

@@ -37,34 +37,32 @@ def time_op(fn, *args, n_small: int = 1, n_big: int = 11, reps: int = 3) -> floa
     """Seconds per application of ``fn(*args) -> array``.
 
     The first argument must be an array; a vanishing perturbation
-    (carry * 1e-30) threads the serial dependency through it.
+    (carry * 1e-30) threads the serial dependency through it.  The chain
+    length is a *traced* loop bound so both lengths share one compile
+    (remote compilation of a big graph can take minutes).
     """
 
-    def make(n):
-        @jax.jit
-        def run(*a):
-            def body(_, carry):
-                first = a[0] + carry.astype(a[0].dtype)
-                out = fn(first, *a[1:])
-                return jnp.mean(out).astype(jnp.float32) * 1e-30
+    @jax.jit
+    def run(n, *a):
+        def body(_, carry):
+            first = a[0] + carry.astype(a[0].dtype)
+            out = fn(first, *a[1:])
+            return jnp.mean(out).astype(jnp.float32) * 1e-30
 
-            return lax.fori_loop(0, n, body, jnp.float32(0.0))
+        return lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-        return run
+    _fetch(run(n_small, *args))
+    _fetch(run(n_big, *args))
 
-    small, big = make(n_small), make(n_big)
-    _fetch(small(*args))
-    _fetch(big(*args))
-
-    def best(run):
+    def best(n):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            _fetch(run(*args))
+            _fetch(run(n, *args))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t1, t2 = best(small), best(big)
+    t1, t2 = best(n_small), best(n_big)
     return max((t2 - t1) / (n_big - n_small), 1e-9)
 
 
@@ -74,28 +72,24 @@ def time_pytree_step(step_fn, carry, *args, n_small: int = 1, n_big: int = 6,
     carry is a pytree (e.g. a TrainState): the chain is the natural state
     dependency."""
 
-    def make(n):
-        @jax.jit
-        def run(c, *a):
-            def body(_, c):
-                return step_fn(c, *a)
+    @jax.jit
+    def run(n, c, *a):
+        def body(_, c):
+            return step_fn(c, *a)
 
-            c = lax.fori_loop(0, n, body, c)
-            return jnp.sum(jax.flatten_util.ravel_pytree(c)[0][:16])
+        c = lax.fori_loop(0, n, body, c)
+        return jnp.sum(jax.flatten_util.ravel_pytree(c)[0][:16])
 
-        return run
+    _fetch(run(n_small, carry, *args))
+    _fetch(run(n_big, carry, *args))
 
-    small, big = make(n_small), make(n_big)
-    _fetch(small(carry, *args))
-    _fetch(big(carry, *args))
-
-    def best(run):
+    def best(n):
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            _fetch(run(carry, *args))
+            _fetch(run(n, carry, *args))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t1, t2 = best(small), best(big)
+    t1, t2 = best(n_small), best(n_big)
     return max((t2 - t1) / (n_big - n_small), 1e-9)

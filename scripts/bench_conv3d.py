@@ -159,6 +159,51 @@ def main():
     print(f"  s2d-DW rel err: {err2:.2e}")
     report("DW-folded conv (128ch)", conv_s2d_dw, x, k)
 
+    # 8. kd-concat: stack the 3 d-shifted volumes on channels (Cin=3*ci),
+    # one 2-D conv with kernel (3,3,3*ci,co).  No redundant FLOPs; the
+    # contraction depth seen by the MXU is 9*3*ci = 864.
+    def conv_kdcat(x, k):
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        xcat = jnp.concatenate(
+            [lax.dynamic_slice_in_dim(xp, dd, D, axis=1) for dd in range(3)],
+            axis=-1,
+        ).reshape(n * D, H, W, 3 * ci)
+        kcat = k.reshape(3, 3, 3, ci, co).transpose(1, 2, 0, 3, 4).reshape(3, 3, 3 * ci, co)
+        dn = lax.conv_dimension_numbers(xcat.shape, kcat.shape, ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_general_dilated(xcat, kcat, (1, 1), "SAME", dimension_numbers=dn)
+        return y.reshape(n, D, H, W, co)
+
+    y_kc = conv_kdcat(x, k)
+    errk = float(jnp.max(jnp.abs(y_ref - y_kc)) / (jnp.max(jnp.abs(y_ref)) + 1e-9))
+    print(f"  kd-cat rel err: {errk:.2e}")
+    report("kd-concat conv2d (96ch in)", conv_kdcat, x, k)
+
+    # 9. kd-concat + W-folded: Cin = 2*3*ci = 192, Cout = 2*co
+    def conv_kdcat_wfold(x, k):
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        xcat = jnp.concatenate(
+            [lax.dynamic_slice_in_dim(xp, dd, D, axis=1) for dd in range(3)],
+            axis=-1,
+        ).reshape(n * D, H, W // 2, 2 * 3 * ci)
+        kcat = k.reshape(3, 3, 3, ci, co).transpose(1, 2, 0, 3, 4).reshape(3, 3, 3 * ci, co)
+        c2 = 3 * ci
+        kf = jnp.zeros((3, 2, 2 * c2, 2 * co), k.dtype)
+        kf = kf.at[:, 0, c2:, :co].set(kcat[:, 0])
+        kf = kf.at[:, 1, :c2, :co].set(kcat[:, 1])
+        kf = kf.at[:, 1, c2:, :co].set(kcat[:, 2])
+        kf = kf.at[:, 1, :c2, co:].set(kcat[:, 0])
+        kf = kf.at[:, 1, c2:, co:].set(kcat[:, 1])
+        kf = kf.at[:, 2, :c2, co:].set(kcat[:, 2])
+        dn = lax.conv_dimension_numbers(xcat.shape, kf.shape, ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_general_dilated(
+            xcat, kf, (1, 1), [(1, 1), (1, 0)], dimension_numbers=dn)
+        return y.reshape(n, D, H, W, co)
+
+    y_kw = conv_kdcat_wfold(x, k)
+    errkw = float(jnp.max(jnp.abs(y_ref - y_kw)) / (jnp.max(jnp.abs(y_ref)) + 1e-9))
+    print(f"  kd-cat+Wfold rel err: {errkw:.2e}")
+    report("kd-cat + W-fold (192ch in)", conv_kdcat_wfold, x, k)
+
 
 if __name__ == "__main__":
     main()

@@ -121,6 +121,56 @@ def test_halo_conv2d_matches_unsharded(rng):
                                atol=1e-5)
 
 
+def test_multihost_batch_assembly():
+    """global_batch_from_host_local on the CPU mesh (1 process: local =
+    global) and the Trainer._place_batch multihost plumbing."""
+    from dsmnet_tpu.parallel.multihost import (
+        global_batch_from_host_local,
+        host_shard,
+        shard_dataset_for_host,
+    )
+
+    mesh = parallel.make_mesh(data=8)
+    b = np.random.RandomState(0).rand(8, 4, 6, 7).astype(np.float32)
+    arr = global_batch_from_host_local(b, mesh)
+    assert arr.shape == (8, 4, 6, 7)
+    np.testing.assert_allclose(np.asarray(arr), b)
+    assert arr.sharding.spec == P("data", None, None, None)
+
+    # dataset sharding: strided split of the path lists, in place
+    class FakeDS:
+        paths_img_left = [f"L{i}" for i in range(10)]
+        paths_img_right = [f"R{i}" for i in range(10)]
+        paths_disp_left = None
+        paths_disp_right = None
+
+    ds = FakeDS()
+    import dsmnet_tpu.parallel.multihost as mh
+
+    orig_idx, orig_cnt = jax.process_index, jax.process_count
+    try:
+        # simulate host 1 of 2
+        jax.process_index = lambda: 1
+        jax.process_count = lambda: 2
+        shard_dataset_for_host(ds)
+    finally:
+        jax.process_index, jax.process_count = orig_idx, orig_cnt
+    assert ds.paths_img_left == ["L1", "L3", "L5", "L7", "L9"]
+    assert ds.paths_img_right == ["R1", "R3", "R5", "R7", "R9"]
+    assert host_shard(list(range(6)), 0, 3) == [0, 3]
+
+
+def test_trainer_place_batch_on_mesh(tmp_path):
+    from dsmnet_tpu.train import TrainConfig, Trainer
+
+    mesh = parallel.make_mesh(data=8)
+    cfg = TrainConfig(mode="train", net="dispnet", maxdisparity=32,
+                      output=str(tmp_path / "o"), dataset="synthetic")
+    t = Trainer(cfg, mesh=mesh)
+    placed = t._place_batch(np.zeros((8, 4, 6, 7), np.float32))
+    assert placed.sharding.spec[0] == "data"
+
+
 def test_halo_conv2d_1x1(rng):
     from jax import lax
 
