@@ -44,16 +44,27 @@ def _avg_pool_same(x: jnp.ndarray, k: int) -> jnp.ndarray:
     return s / float(k * k)
 
 
-def corr1d_reference(fL: jnp.ndarray, fR: jnp.ndarray, D: int, stride: int = 1) -> jnp.ndarray:
-    """Golden jnp implementation. fL/fR (N,H,W,C) -> (N,H,W,D)."""
+def _dot_sim(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Default similarity: channel dot product (util_conv.py:64-66)."""
+    return jnp.sum(a * b, axis=-1)
+
+
+def corr1d_reference(fL: jnp.ndarray, fR: jnp.ndarray, D: int, stride: int = 1,
+                     simfun=None) -> jnp.ndarray:
+    """Golden jnp implementation. fL/fR (N,H,W,C) -> (N,H,W,D).
+
+    ``simfun(a, b) -> (N,H,W')`` scores aligned feature vectors; the
+    reference's Corr1d accepts e.g. a cosine similarity the same way
+    (util_conv.py:64-66); default is the dot product."""
+    simfun = simfun or _dot_sim
     n, h, w, c = fL.shape
-    outs = [jnp.sum(fL * fR, axis=-1)]
+    outs = [simfun(fL, fR)]
     for d in range(1, D):
         idx = d * stride
         if d >= w or idx >= w:
             outs.append(jnp.zeros((n, h, w), fL.dtype))
             continue
-        s = jnp.sum(fL[:, :, idx:, :] * fR[:, :, : w - idx, :], axis=-1)
+        s = simfun(fL[:, :, idx:, :], fR[:, :, : w - idx, :])
         outs.append(jnp.pad(s, ((0, 0), (0, 0), (idx, 0))))
     return jnp.stack(outs, axis=-1)
 
@@ -140,6 +151,7 @@ def corr1d(
     kernel_size: int = 1,
     use_pallas: bool | None = None,
     interpret: bool = False,
+    simfun=None,
 ) -> jnp.ndarray:
     """1-D horizontal correlation, (N,H,W,C) x2 -> (N,H,W,D).
 
@@ -154,7 +166,11 @@ def corr1d(
     if use_pallas is None:
         # default False: the XLA-fused jnp path wins at model level
         use_pallas = config.use_pallas if config.use_pallas is not None else False
-    if use_pallas:
+    if simfun is not None:
+        # custom similarity (e.g. cosine) only exists on the jnp path;
+        # the Pallas kernel hard-codes the dot product
+        corr = corr1d_reference(fL, fR, D, stride, simfun)
+    elif use_pallas:
         corr = _corr1d_pallas(fL, fR, D, stride, interpret)
     else:
         corr = corr1d_reference(fL, fR, D, stride)
