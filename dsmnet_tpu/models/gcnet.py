@@ -21,6 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops import concat_cost_volume, soft_argmin
+from ..parallel.context import shard_activation
 from .layers import ConvBN, DeconvBN, crop_add, res_stack_gc
 
 __all__ = ["GCNet", "GCNetLR"]
@@ -82,8 +83,9 @@ class GCNet(nn.Module):
     def __call__(self, imL, imR, train: bool = True, clamp: bool = False):
         assert imL.shape == imR.shape
         feat = _Feature2D(name="layer2d")
-        fL = feat(imL, train)
-        fR = feat(imR, train)
+        # H-shard the 2-D towers under a spatial mesh axis (see psmnet.py)
+        fL = shard_activation(feat(imL, train))
+        fR = shard_activation(feat(imR, train))
         D = self.maxdisparity // 2
         vol = concat_cost_volume(fL, fR, D, mask_left=False)
         disp = _Feature3D(name="layer3d")(vol, train)
@@ -112,8 +114,9 @@ class GCNetLR(nn.Module):
     def __call__(self, imL, imR, train: bool = True):
         assert imL.shape == imR.shape
         feat = _Feature2D(name="layer2d")
-        fL = feat(imL, train)
-        fR = feat(imR, train)
+        # H-shard the 2-D towers under a spatial mesh axis (see psmnet.py)
+        fL = shard_activation(feat(imL, train))
+        fR = shard_activation(feat(imR, train))
         D = self.maxdisparity // 2
         volL = concat_cost_volume(fL, fR, D, mask_left=False)
         # right-view volume == left-view volume of the horizontally

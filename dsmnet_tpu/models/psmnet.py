@@ -26,6 +26,7 @@ from jax import lax
 from ..ops import concat_cost_volume, resize_bilinear
 from ..ops.fused_costvol import cost_volume_conv3x3
 from ..ops.regression import trilinear_soft_argmin
+from ..parallel.context import shard_activation
 from .layers import (
     ConvBN,
     ResBlockPSM,
@@ -163,8 +164,11 @@ class PSMNet(nn.Module):
     def __call__(self, imL, imR, train: bool = True, clamp: bool = False):
         assert imL.shape == imR.shape
         feat = _FeatureExtraction(name="feature_extraction")
-        fL = feat(imL, train)
-        fR = feat(imR, train)
+        # H-shard the 2-D towers under a spatial mesh axis so they are not
+        # fully replicated when the cost volume is sharded (GSPMD inserts
+        # the conv halo exchanges)
+        fL = shard_activation(feat(imL, train))
+        fR = shard_activation(feat(imR, train))
 
         D4 = self.maxdisparity // 4
 
