@@ -141,6 +141,35 @@ class _FastConv3d(nn.Module):
         return y
 
 
+class _FastDeconv3d(nn.Module):
+    """Drop-in for nn.ConvTranspose on k=3 s=2 3-D deconvs using
+    ops.conv3d.deconv3d_k3s2 (parity-folded GEMM on TPU).  Same param
+    structure as ConvTranspose(transpose_kernel=True): kernel
+    (3,3,3,Cout,Cin), optional bias."""
+
+    features: int
+    use_bias: bool
+    kernel_init: Callable
+    bias_init: Callable
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.conv3d import deconv3d_k3s2
+
+        kshape = (3, 3, 3, self.features, x.shape[-1])
+        kern = self.param("kernel", self.kernel_init, kshape)
+        dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)
+            kern = kern.astype(dt)
+        y = deconv3d_k3s2(x, kern)
+        if self.use_bias:
+            b = self.param("bias", self.bias_init, (self.features,))
+            y = y + (b.astype(dt) if dt is not None else b)
+        return y
+
+
 class ConvBN(nn.Module):
     """Conv (2-D or 3-D by ``dims``) + optional BatchNorm + optional ReLU.
 
@@ -241,17 +270,27 @@ class DeconvBN(nn.Module):
             op = ss - (kk - 2 * p)
             pad_pairs.append((kk - 1 - p, kk - 1 - p + op))
         fan_in = float(np.prod(k)) * x.shape[-1]
-        x = nn.ConvTranspose(
-            self.features,
-            kernel_size=k,
-            strides=s,
-            padding=pad_pairs,
-            use_bias=self.use_bias,
-            transpose_kernel=True,
-            kernel_init=_fanin_uniform_kernel(fan_in),
-            bias_init=_fanin_uniform_bias(fan_in),
-            dtype=self.dtype if self.dtype is not None else default_dtype(),
-        )(x)
+        dt = self.dtype if self.dtype is not None else default_dtype()
+        if self.dims == 3 and k == (3, 3, 3) and s == (2, 2, 2):
+            # torch geometry for k3/s2 is pads (1,2) — exactly what
+            # deconv3d_k3s2 implements (parity-folded GEMM on TPU)
+            x = _FastDeconv3d(
+                self.features, self.use_bias, _fanin_uniform_kernel(fan_in),
+                _fanin_uniform_bias(fan_in), dt, name="ConvTranspose_0",
+            )(x)
+        else:
+            x = nn.ConvTranspose(
+                self.features,
+                kernel_size=k,
+                strides=s,
+                padding=pad_pairs,
+                use_bias=self.use_bias,
+                transpose_kernel=True,
+                kernel_init=_fanin_uniform_kernel(fan_in),
+                bias_init=_fanin_uniform_bias(fan_in),
+                dtype=dt,
+                name="ConvTranspose_0",
+            )(x)
         if self.bn:
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,

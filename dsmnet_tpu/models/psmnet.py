@@ -30,6 +30,7 @@ from ..parallel.context import shard_activation
 from .layers import (
     ConvBN,
     ResBlockPSM,
+    _FastDeconv3d,
     conv_kernel_init,
     crop_add,
     default_dtype,
@@ -101,14 +102,16 @@ class _Hourglass(nn.Module):
         out = c(p * 2, 1, True, "conv4")(out, train)
 
         # conv5/conv6: ConvTranspose3d k=3 s=2 p=1 op=1 (exact 2x) + BN;
-        # torch geometry -> lax pads (k-1-p, k-1-p+op) = (1, 2)
+        # torch geometry -> lax pads (k-1-p, k-1-p+op) = (1, 2), which is
+        # exactly ops.conv3d.deconv3d_k3s2 (parity-folded GEMM on TPU)
         def up(f, name, y):
-            y = nn.ConvTranspose(
-                f, (3, 3, 3), (2, 2, 2), padding=[(1, 2)] * 3, use_bias=False,
-                transpose_kernel=True, kernel_init=torch_fanin_uniform, name=name,
+            y = _FastDeconv3d(
+                f, use_bias=False, kernel_init=torch_fanin_uniform,
+                bias_init=torch_fanin_uniform, dtype=default_dtype(), name=name,
             )(y)
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, name=f"{name}_bn")(y)
+                                epsilon=1e-5, dtype=default_dtype(),
+                                name=f"{name}_bn")(y)
 
         post = up(p * 2, "conv5", out)
         post = nn.relu(crop_add(post, presqu if presqu is not None else pre))

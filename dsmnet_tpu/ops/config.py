@@ -13,6 +13,20 @@ import jax
 
 use_pallas: bool | None = None
 
+# 3-D conv formulation for stride-1 SAME convs (ops/conv3d.py):
+#   "native"  — lax conv (GEMM lane fill = Cout/128)
+#   "kwfold"  — kw taps folded into Cout (3x lane fill) + shifted combine
+#   None      — auto: native everywhere (measured: XLA's (kd,kh,1)-kernel
+#               conv lowering erases the fold's fill win — 4.3 vs 3.0 ms
+#               bf16 at PSMNet volume shape; scripts/bench_conv3d_fold.py)
+conv3d_impl: str | None = None
+
+# transposed-conv formulation for k=3 s=2 deconvs (ops/conv3d.py):
+#   "native"  — lax.conv_transpose
+#   "parity"  — all 8 output parities folded into one dense (2,2,2) conv
+#   None      — auto: parity on TPU backends, native elsewhere
+deconv3d_impl: str | None = None
+
 
 def pallas_enabled(override: bool | None = None) -> bool:
     if override is not None:
@@ -20,3 +34,15 @@ def pallas_enabled(override: bool | None = None) -> bool:
     if use_pallas is not None:
         return use_pallas
     return jax.default_backend() == "tpu"
+
+
+def conv3d_mode() -> str:
+    if conv3d_impl is not None:
+        return conv3d_impl
+    return "native"
+
+
+def deconv3d_mode() -> str:
+    if deconv3d_impl is not None:
+        return deconv3d_impl
+    return "parity" if jax.default_backend() == "tpu" else "native"

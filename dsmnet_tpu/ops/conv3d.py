@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["conv3d_same"]
+__all__ = ["conv3d_same", "deconv3d_k3s2"]
 
 
 def _conv(x, k, pads):
@@ -71,8 +71,35 @@ def _conv_wfold(x, k):
     return y.reshape(n, D, H, W, co)
 
 
+def _conv_kwfold(x, k):
+    """Stride-1 SAME conv with the kw taps folded into Cout.
+
+    The MXU processes GEMM output-lane tiles of 128; the regularizer's
+    Co=32 convs fill 32/128 = 25% of them, which is where the native
+    conv plateaus (~32 TFLOP/s on a ~147 TFLOP/s chip).  Computing
+    z = conv3d(x, K as (kd,kh,1,Ci,kw*Co)) raises the fill to
+    kw*Co/128, and y recombines z with kw shifted adds (elementwise,
+    HBM-bound).  Requires kw == 3 (every regularizer conv)."""
+    n, D, H, W, ci = x.shape
+    kd, kh, kw, _, co = k.shape
+    assert kw == 3, kw
+    kz = jnp.moveaxis(k, 2, 3).reshape(kd, kh, 1, ci, 3 * co)
+    pads = [((kd - 1) // 2,) * 2, ((kh - 1) // 2,) * 2, (0, 0)]
+    z = _conv(x, kz, pads)
+    zp = jnp.pad(z, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
+    return (
+        zp[:, :, :, 0:W, 0:co]
+        + zp[:, :, :, 1 : W + 1, co : 2 * co]
+        + zp[:, :, :, 2 : W + 2, 2 * co : 3 * co]
+    )
+
+
 def _conv_fast(x, k):
-    """Stride-1 SAME conv — native lax (fastest with traced kernels)."""
+    """Stride-1 SAME conv — formulation picked by ops.config.conv3d_mode()."""
+    from . import config
+
+    if config.conv3d_mode() == "kwfold" and k.shape[2] == 3:
+        return _conv_kwfold(x, k)
     pads = [((s - 1) // 2, (s - 1) // 2) for s in k.shape[:3]]
     return _conv(x, k, pads)
 
@@ -117,3 +144,58 @@ def _bwd(res, g):
 
 
 conv3d_same.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# k=3 stride-2 transposed conv (PSMNet/GCNet hourglass up-path)
+# ---------------------------------------------------------------------------
+
+def _deconv_native(x, k):
+    """lax conv_transpose matching flax ConvTranspose(k=3, s=2,
+    padding [(1,2)], transpose_kernel=True); k is (3,3,3,Co,Ci)."""
+    return lax.conv_transpose(
+        x, k, (2, 2, 2), [(1, 2)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), transpose_kernel=True,
+    )
+
+
+def _deconv_parity(x, k):
+    """Same deconv as one dense (2,2,2) conv with all 8 output parities
+    folded into Cout (8Co), then a pixel-shuffle.
+
+    With Kr = the spatially-flipped, channel-swapped kernel that
+    conv_transpose applies, the 1-D identity for s=2/k=3/pads (1,2) is
+    y[2u] = x[u].Kr[1]; y[2u+1] = x[u].Kr[0] + x[u+1].Kr[2], so parity p
+    at window offset o uses Kr[{(0,0):1,(1,0):0,(1,1):2}[(p,o)]] and is
+    zero elsewhere.  The zero slots cost 64/27 = 2.37x FLOPs but the
+    GEMM runs at full output-lane tiles (8Co >= 128 for Co >= 16)
+    instead of Co/128."""
+    n, D, H, W, ci = x.shape
+    co = k.shape[-2]
+    kr = jnp.flip(k, axis=(0, 1, 2)).swapaxes(3, 4)  # (3,3,3,Ci,Co)
+    sel = {(0, 0): 1, (1, 0): 0, (1, 1): 2}
+    kb = jnp.zeros((2, 2, 2, ci, 8, co), k.dtype)
+    for p in range(8):
+        pd, ph, pw = (p >> 2) & 1, (p >> 1) & 1, p & 1
+        for o in range(8):
+            od, oh, ow = (o >> 2) & 1, (o >> 1) & 1, o & 1
+            idx = (sel.get((pd, od)), sel.get((ph, oh)), sel.get((pw, ow)))
+            if None in idx:
+                continue
+            kb = kb.at[od, oh, ow, :, p].set(kr[idx])
+    kb = kb.reshape(2, 2, 2, ci, 8 * co)
+    z = _conv(x, kb, [(0, 1)] * 3)  # (n,D,H,W,8co)
+    z = z.reshape(n, D, H, W, 2, 2, 2, co)
+    z = jnp.transpose(z, (0, 1, 4, 2, 5, 3, 6, 7))
+    return z.reshape(n, 2 * D, 2 * H, 2 * W, co)
+
+
+def deconv3d_k3s2(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Exact-2x transposed 3-D conv (k=3, s=2, torch geometry p=1 op=1);
+    x (N,D,H,W,Ci), k (3,3,3,Co,Ci) — the flax transpose_kernel layout.
+    Formulation picked by ops.config.deconv3d_mode()."""
+    from . import config
+
+    if config.deconv3d_mode() == "parity":
+        return _deconv_parity(x, k)
+    return _deconv_native(x, k)

@@ -17,10 +17,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dsmnet_tpu.losses import parse_loss_name
+from dsmnet_tpu.losses import parse_loss_name, supervised_pyramid_loss
 from dsmnet_tpu.models import create_model
 from dsmnet_tpu.models.layers import compute_dtype
-from dsmnet_tpu.losses import supervised_pyramid_loss
 from dsmnet_tpu.train import create_train_state, make_supervised_train_step
 from dsmnet_tpu.utils import time_op, time_pytree_step
 
@@ -59,7 +58,10 @@ def main():
         return supervised_pyramid_loss(dispL, disps, scales, weights, True)
 
     with ctx:
-        t = time_op(fwd_loss, state.params, b, n_small=1, n_big=4)
+        # batch array first: time_op threads its timing dependency through
+        # the first argument, which must be an array (not the params pytree)
+        t = time_op(lambda bb, p: fwd_loss(p, bb), b, state.params,
+                    n_small=1, n_big=4)
         print(f"forward+loss (train mode)   {t*1e3:8.1f} ms")
 
         grad_fn = jax.grad(fwd_loss)

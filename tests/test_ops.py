@@ -206,6 +206,30 @@ def test_corr1d_reference_matches_torch(rng, D, stride, k):
     np.testing.assert_allclose(ours, to_nhwc(theirs), rtol=1e-4, atol=1e-4)
 
 
+def test_corr1d_custom_simfun_cosine(rng):
+    """The reference Corr1d accepts a pluggable similarity
+    (util_conv.py:64-66); check a cosine simfun against numpy."""
+    fL = rng.randn(1, 4, 12, 8).astype(np.float32)
+    fR = rng.randn(1, 4, 12, 8).astype(np.float32)
+
+    def cosine(a, b):
+        num = jnp.sum(a * b, axis=-1)
+        den = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(b, axis=-1) + 1e-8
+        return num / den
+
+    out = np.asarray(corr1d(jnp.asarray(fL), jnp.asarray(fR), 5, simfun=cosine))
+    # numpy golden
+    want = np.zeros((1, 4, 12, 5), np.float32)
+    for d in range(5):
+        a = fL[:, :, d:, :]
+        b = fR[:, :, : 12 - d if d else None, :]
+        s = (a * b).sum(-1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-8
+        )
+        want[:, :, d:, d] = s
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+
 def test_corr1d_pallas_interpret_matches_reference(rng):
     fL = jnp.asarray(rng.randn(1, 8, 32, 16).astype(np.float32))
     fR = jnp.asarray(rng.randn(1, 8, 32, 16).astype(np.float32))
@@ -431,3 +455,74 @@ def test_conv3d_same_matches_lax(rng):
     for a, b in zip(gr, go):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
                                    atol=1e-3)
+
+
+def test_conv3d_kwfold_matches_native(rng):
+    """kw-fold-into-Cout formulation is exact (ops/conv3d.py)."""
+    from dsmnet_tpu.ops import config
+    from dsmnet_tpu.ops.conv3d import conv3d_same
+
+    x = jnp.asarray(rng.randn(1, 5, 7, 11, 4).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 4, 6).astype(np.float32) * 0.2)
+    old = config.conv3d_impl
+    try:
+        config.conv3d_impl = "native"
+        ref = conv3d_same(x, k)
+        g_ref = jax.grad(lambda a, b: jnp.sum(conv3d_same(a, b) ** 2),
+                         argnums=(0, 1))(x, k)
+        config.conv3d_impl = "kwfold"
+        out = conv3d_same(x, k)
+        g_out = jax.grad(lambda a, b: jnp.sum(conv3d_same(a, b) ** 2),
+                         argnums=(0, 1))(x, k)
+    finally:
+        config.conv3d_impl = old
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    for a, b in zip(g_ref, g_out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-3)
+
+
+def test_deconv3d_parity_matches_native(rng):
+    """Parity-folded transposed conv is exact, incl. odd input sizes and
+    gradients (ops/conv3d.py deconv3d_k3s2)."""
+    from dsmnet_tpu.ops import config
+    from dsmnet_tpu.ops.conv3d import _deconv_native, _deconv_parity
+
+    for shape in [(1, 4, 6, 8, 5), (2, 3, 5, 7, 4)]:
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, 3, 6, shape[-1]).astype(np.float32) * 0.2)
+        ref = _deconv_native(x, k)
+        out = _deconv_parity(x, k)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+        g_ref = jax.grad(lambda a, b: jnp.sum(_deconv_native(a, b) ** 2),
+                         argnums=(0, 1))(x, k)
+        g_out = jax.grad(lambda a, b: jnp.sum(_deconv_parity(a, b) ** 2),
+                         argnums=(0, 1))(x, k)
+        for a, b in zip(g_ref, g_out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                       atol=1e-3)
+
+
+def test_psmnet_forward_invariant_to_conv3d_impl(rng):
+    """Whole-model check: PSMNet outputs match across conv3d/deconv3d
+    formulations (native vs kwfold/parity)."""
+    import jax as _jax
+
+    from dsmnet_tpu.models import create_model
+    from dsmnet_tpu.ops import config
+
+    imL = jnp.asarray(rng.rand(1, 32, 64, 3).astype(np.float32))
+    imR = jnp.asarray(rng.rand(1, 32, 64, 3).astype(np.float32))
+    model = create_model("psmnet", maxdisparity=16)
+    old_c, old_d = config.conv3d_impl, config.deconv3d_impl
+    try:
+        config.conv3d_impl, config.deconv3d_impl = "native", "native"
+        v = model.init(_jax.random.PRNGKey(0), imL, imR, train=False)
+        _, d_ref = model.apply(v, imL, imR, train=False)
+        config.conv3d_impl, config.deconv3d_impl = "kwfold", "parity"
+        _, d_new = model.apply(v, imL, imR, train=False)
+    finally:
+        config.conv3d_impl, config.deconv3d_impl = old_c, old_d
+    diff = np.abs(np.asarray(d_ref[0]) - np.asarray(d_new[0]))
+    assert diff.max() < 0.05 and diff.mean() < 1e-3, (diff.max(), diff.mean())
