@@ -28,6 +28,24 @@ conv3d_impl: str | None = None
 deconv3d_impl: str | None = None
 
 
+# kernel-gradient formulation for stride-1 SAME 3x3x3 convs
+# (ops/conv3d.py _bwd):
+#   "pertap"  — 27 deep einsums with (Ci,Co) output tiles
+#   "stacked" — one GEMM, (kd,kh) taps on M / kw taps on N.  2.1x faster
+#               in a dK-only microbench (scripts/bench_dk.py) but 2x
+#               SLOWER whenever dx is computed alongside (the 509 MB
+#               shifted-stack materialization wrecks XLA scheduling;
+#               scripts/bench_dk AB run, PERF.md) — kept for benchmarks
+#   None      — auto (pertap)
+conv3d_dk: str | None = None
+
+
+def conv3d_dk_mode() -> str:
+    if conv3d_dk is not None:
+        return conv3d_dk
+    return "pertap"
+
+
 def pallas_enabled(override: bool | None = None) -> bool:
     if override is not None:
         return override
