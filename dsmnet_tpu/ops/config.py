@@ -14,11 +14,15 @@ import jax
 use_pallas: bool | None = None
 
 # 3-D conv formulation for stride-1 SAME convs (ops/conv3d.py):
-#   "native"  — lax conv (GEMM lane fill = Cout/128)
-#   "kwfold"  — kw taps folded into Cout (3x lane fill) + shifted combine
-#   None      — auto: native everywhere (measured: XLA's (kd,kh,1)-kernel
-#               conv lowering erases the fold's fill win — 4.3 vs 3.0 ms
-#               bf16 at PSMNet volume shape; scripts/bench_conv3d_fold.py)
+#   "native"  — lax conv (GEMM lane fill = Cout/128; ~16 TFLOP/s bf16 at
+#               PSMNet volume shapes)
+#   "kwfold"  — kw taps folded into Cout in XLA (measured slower: the
+#               (kd,kh,1)-kernel lowering erases the fill win)
+#   "pallas"  — folded-lane Pallas kernel (ops/conv3d_pallas.py): kwfold
+#               N + 9-tap-deep K GEMM per w-parity, ring-DMA slabs;
+#               1.8x native at the 32->32 full-volume shape (PERF.md r3)
+#   None      — auto: pallas on TPU (with per-shape native fallback),
+#               native elsewhere
 conv3d_impl: str | None = None
 
 # transposed-conv formulation for k=3 s=2 deconvs (ops/conv3d.py):
@@ -36,14 +40,17 @@ deconv3d_impl: str | None = None
 #               SLOWER whenever dx is computed alongside (the 509 MB
 #               shifted-stack materialization wrecks XLA scheduling;
 #               scripts/bench_dk AB run, PERF.md) — kept for benchmarks
-#   None      — auto (pertap)
+#   "pallas"  — folded-lane Pallas kernel (one (9C, 3Co)-tile GEMM per
+#               w-parity, VMEM-resident accumulator; conv3d_pallas.py)
+#   None      — auto: pallas on TPU (per-shape pertap fallback),
+#               pertap elsewhere
 conv3d_dk: str | None = None
 
 
 def conv3d_dk_mode() -> str:
     if conv3d_dk is not None:
         return conv3d_dk
-    return "pertap"
+    return "pallas" if jax.default_backend() == "tpu" else "pertap"
 
 
 def pallas_enabled(override: bool | None = None) -> bool:
@@ -57,7 +64,7 @@ def pallas_enabled(override: bool | None = None) -> bool:
 def conv3d_mode() -> str:
     if conv3d_impl is not None:
         return conv3d_impl
-    return "native"
+    return "pallas" if jax.default_backend() == "tpu" else "native"
 
 
 def deconv3d_mode() -> str:

@@ -94,11 +94,27 @@ def _conv_kwfold(x, k):
     )
 
 
+def _pallas_ok(ci: int, W: int, H: int) -> bool:
+    """Shape gate for the folded-lane Pallas kernels (conv3d_pallas.py):
+    channels must divide 128 and W must fold into dense 128-lane rows."""
+    return ci >= 8 and 128 % ci == 0 and W % (128 // ci) == 0 and H % 8 == 0
+
+
 def _conv_fast(x, k):
     """Stride-1 SAME conv — formulation picked by ops.config.conv3d_mode()."""
     from . import config
 
-    if config.conv3d_mode() == "kwfold" and k.shape[2] == 3:
+    mode = config.conv3d_mode()
+    if (
+        mode == "pallas"
+        and k.shape[:3] == (3, 3, 3)
+        and k.shape[-1] >= 8
+        and _pallas_ok(x.shape[-1], x.shape[3], x.shape[2])
+    ):
+        from .conv3d_pallas import conv3d_fwd_pallas
+
+        return conv3d_fwd_pallas(x, k)
+    if mode == "kwfold" and k.shape[2] == 3:
         return _conv_kwfold(x, k)
     pads = [((s - 1) // 2, (s - 1) // 2) for s in k.shape[:3]]
     return _conv(x, k, pads)
@@ -194,9 +210,18 @@ def _bwd(res, g):
 
     from . import config
 
+    dk_mode = config.conv3d_dk_mode()
     if co < 8:
         dk = _dk_ntap(x, g, kd, kh, kw)
-    elif (kd, kh, kw) == (3, 3, 3) and config.conv3d_dk_mode() == "stacked":
+    elif (
+        dk_mode == "pallas"
+        and (kd, kh, kw) == (3, 3, 3)
+        and _pallas_ok(ci, x.shape[3], x.shape[2])
+    ):
+        from .conv3d_pallas import conv3d_dk_pallas
+
+        dk = conv3d_dk_pallas(x, g)
+    elif (kd, kh, kw) == (3, 3, 3) and dk_mode == "stacked":
         dk = _dk_stacked(x, g)
     else:
         dk = _dk_pertap(x, g, kd, kh, kw)

@@ -1,30 +1,37 @@
 """Pallas TPU kernels for the stride-1 SAME 3x3x3 convolution family.
 
 XLA's native NDHWC conv3d runs the PSMNet regularizer's 32->32
-full-volume convs at ~16 TFLOP/s on v5e (3.0 ms for 48.9 GFLOP,
-scripts/bench_bn.py) — ~8% MFU.  The structural problem is GEMM fill:
-Cout=32 fills 32/128 output lanes, and XLA's conv lowering loses
-another 2x on top.
+full-volume convs at ~16 TFLOP/s on v5e (2.9 ms for 48.9 GFLOP;
+scripts/bench_bn.py, scripts/proto_conv3d_pallas.py) — ~8% MFU, fill-
+bound by Cout=32 against 128 output lanes plus lowering losses.
 
-These kernels restructure the conv as ONE well-filled GEMM per block:
+Storage scheme (constraints discovered on v5e Mosaic, see the proto
+script): HBM arrays are tiled (8, 128) on the two minor dims, so a
+C=32 minor dim can be neither DMA-sliced nor repacked for free.  Both
+kernels therefore run on *W-folded dense-lane* views built by a free
+XLA reshape:
 
-  * the 3 kw taps fold into the GEMM N dimension (z has 3*Co lanes; a
-    shifted in-VMEM add recombines them into y — the "kwfold" trick,
-    N fill 96/128 for Co=32);
-  * the 9 (kd,kh) taps fold into the GEMM K dimension by assembling a
-    patch matrix P (M, 9*Ci) from shifted VMEM windows (K fill
-    288/384 after lane padding);
-  * M is a (DB, HB, W) output block, streamed over a halo-DMA'd
-    window of the padded input.
+    x (N, D+2, H+2, W, C)  ->  (N, D+2, H+2, W/r, r*C),  r*C = 128
 
-The kernel-gradient kernel reuses the same window structure with the
-taps assembled on M (9*Ci rows) against kw-shifted cotangent copies on
-N (3*Co lanes), contracting over all positions of the block —
-accumulated in a VMEM-resident (9*Ci, 3*Co) f32 output across grid
-steps.
+Forward kernel (reference workload: the 3-D hourglass convs,
+models/psmnet/stackhourglass.py:73-149):
+  * grid (N, H/ht, D), d innermost; ring of 4 DMA'd (ht+2, W/r, 128)
+    slabs with one-slab-ahead prefetch (DMA overlaps compute);
+  * per w-parity pw: patches (ht*UF, 9C) from lane extractions of the
+    nine (kd, kh)-shifted slab merges;
+  * ONE matmul per parity (M, 9C) @ (9C, 3Co) — kw lives in the GEMM N
+    dimension (kwfold), K = 9C = 288 deep;
+  * each (pw, kw) product maps to an output parity and a folded
+    u-shift in {-1,0,+1}: masked sublane rolls + lane concat assemble
+    the folded output.
 
-Reference semantics: models/psmnet/stackhourglass.py:73-149 /
-models/gcnet.py:32-101 (the 3-D regularizer convs these accelerate).
+Kernel-gradient kernel: same slab machinery for x; the cotangent
+arrives as a *slotted* view g_ext (N, D, H, W/r, (r+2)*Co) where slot
+s holds g at w = u*r + s - 1 (built by strided XLA slices).  For each
+x-parity pw the three kw taps pair with slots pw+2-dw — a contiguous
+3Co lane window of g_ext, in reversed-dw order — so the per-parity
+contraction is ONE (M, 9C)^T (M, 3Co) matmul accumulated into a
+VMEM-resident (9C, 3Co) f32 output across all grid steps.
 """
 
 from __future__ import annotations
@@ -37,160 +44,236 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["conv3d_same_pallas_fwd", "conv3d_dk_pallas"]
+__all__ = ["conv3d_fwd_pallas", "conv3d_dk_pallas"]
 
 
-def _pick_blocks(D, H, W, ci, co, cap=9_500_000):
-    """Largest (DB, HB) whose working set fits comfortably in VMEM."""
-    for db, hb in ((8, 8), (4, 8), (8, 4), (4, 4), (2, 4), (4, 2), (2, 2),
-                   (1, 2), (2, 1), (1, 1)):
-        if D % db or H % hb:
-            continue
-        m = db * hb * W
-        need = (
-            (db + 2) * (hb + 2) * W * ci * 2      # x window (bf16)
-            + m * 9 * ci * 2                       # patch matrix
-            + m * 3 * co * 4                       # z accumulator (f32)
-            + 2 * db * hb * W * co * 2             # double-buffered out
+def _fold(ci):
+    r = max(1, 128 // ci)
+    return r
+
+
+def _pick_ht(H):
+    ht = 32
+    while H % ht:
+        ht //= 2
+    return ht
+
+
+def _fwd_kernel(xp_ref, km_ref, out_ref, ring, sems, *, ht, UF, r, C, Co, D):
+    n = pl.program_id(0)
+    j = pl.program_id(1)
+    d = pl.program_id(2)
+    h0 = j * ht
+
+    def dma(pad_idx, slot):
+        return pltpu.make_async_copy(
+            xp_ref.at[n, pad_idx, pl.ds(h0, ht + 2), :, :],
+            ring.at[slot], sems.at[slot],
         )
-        if need <= cap:
-            return db, hb
-    return 1, 1
+
+    @pl.when(d == 0)
+    def _():
+        dma(0, 0).start()
+        dma(1, 1).start()
+        dma(2, 2).start()
+        dma(0, 0).wait()
+        dma(1, 1).wait()
+
+    @pl.when(d + 3 < D + 2)
+    def _():
+        dma(d + 3, (d + 3) % 4).start()
+
+    dma(d + 2, (d + 2) % 4).wait()
+
+    M = ht * UF
+    merged = []
+    for kd in range(3):
+        slab = ring[(d + kd) % 4]  # (ht+2, UF, r*C)
+        for kh in range(3):
+            merged.append(slab[kh:kh + ht].reshape(M, r * C))
+
+    km = km_ref[:]  # (9C, 3Co)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+    u_of = rows % UF
+
+    outs = [None] * r  # per output parity: (M, Co) f32
+    for pw in range(r):
+        patches = jnp.concatenate(
+            [m[:, pw * C:(pw + 1) * C] for m in merged], axis=-1
+        )  # (M, 9C)
+        P = jnp.dot(patches, km, preferred_element_type=jnp.float32)
+        for kw in range(3):
+            t = pw - kw + 1
+            po = t % r
+            sh = (t - po) // r  # -1, 0, +1 folded-u shift
+            piece = P[:, kw * Co:(kw + 1) * Co]
+            if sh == 1:
+                piece = pltpu.roll(piece, 1, 0)
+                piece = jnp.where(u_of == 0, 0.0, piece)
+            elif sh == -1:
+                piece = pltpu.roll(piece, M - 1, 0)
+                piece = jnp.where(u_of == UF - 1, 0.0, piece)
+            outs[po] = piece if outs[po] is None else outs[po] + piece
+
+    acc = jnp.concatenate(outs, axis=-1)  # (M, r*Co)
+    out_ref[0, 0] = acc.astype(out_ref.dtype).reshape(ht, UF, r * Co)
 
 
-def _fwd_kernel(xp_ref, kz_ref, y_ref, xwin, zbuf, sem, *, DB, HB, W, ci, co):
-    i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    cp = pltpu.make_async_copy(
-        xp_ref.at[i, pl.ds(j * DB, DB + 2), pl.ds(k * HB, HB + 2)], xwin, sem
-    )
-    cp.start()
-    cp.wait()
-    m = DB * HB * W
-    parts = []
-    for dd in range(3):
-        for dh in range(3):
-            parts.append(xwin[dd:dd + DB, dh:dh + HB].reshape(m, ci))
-    P = jnp.concatenate(parts, axis=1)                       # (M, 9ci)
-    z = jnp.dot(P, kz_ref[:], preferred_element_type=jnp.float32)
-    # kw recombination via a W-padded scratch (Mosaic rejects the
-    # pad/concat formulation): y[w] = z[w-1,tap0] + z[w,tap1] + z[w+1,tap2]
-    zbuf[:, :, 0, :] = jnp.zeros((DB, HB, 3 * co), jnp.float32)
-    zbuf[:, :, W + 1, :] = jnp.zeros((DB, HB, 3 * co), jnp.float32)
-    zbuf[:, :, 1:W + 1, :] = z.reshape(DB, HB, W, 3 * co)
-    y = (
-        zbuf[:, :, 0:W, 0:co]
-        + zbuf[:, :, 1:W + 1, co:2 * co]
-        + zbuf[:, :, 2:W + 2, 2 * co:3 * co]
-    )
-    y_ref[0] = y.astype(y_ref.dtype)
+@functools.partial(jax.jit, static_argnames=("ht", "interpret"))
+def conv3d_fwd_pallas(x, k, ht: int | None = None, interpret: bool = False):
+    """stride-1 SAME 3x3x3 conv; x (N,D,H,W,C), k (3,3,3,C,Co).
 
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def conv3d_same_pallas_fwd(x, k, interpret: bool = False):
-    """stride-1 SAME 3x3x3 conv; x (N,D,H,W,Ci), k (3,3,3,Ci,Co)."""
-    n, D, H, W, ci = x.shape
-    co = k.shape[-1]
+    Requires 128 % C == 0 and W % (128//C) == 0 (PSMNet/GCNet volume
+    shapes satisfy both).  1.5-1.9x faster than the native lax conv at
+    hourglass shapes on v5e (PERF.md round 3)."""
+    n, D, H, W, C = x.shape
+    Co = k.shape[-1]
     assert k.shape[:3] == (3, 3, 3)
-    db, hb = _pick_blocks(D, H, W, ci, co)
+    r = _fold(C)
+    assert W % r == 0 and r * C == 128, (W, C)
+    UF = W // r
+    if ht is None:
+        ht = _pick_ht(H)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
-    kz = jnp.moveaxis(k, 2, 3).reshape(3 * 3 * ci, 3 * co).astype(x.dtype)
-    grid = (n, D // db, H // hb)
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, DB=db, HB=hb, W=W, ci=ci, co=co),
+    xp = xp.reshape(n, D + 2, H + 2, UF, r * C)
+    km = k.transpose(0, 1, 3, 2, 4).reshape(9 * C, 3 * Co).astype(x.dtype)
+    grid = (n, H // ht, D)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, ht=ht, UF=UF, r=r, C=C, Co=Co, D=D),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((3 * 3 * ci, 3 * co), lambda i, j, k: (0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, db, hb, W, co), lambda i, j, k: (i, j, k, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, D, H, W, co), x.dtype),
+        out_specs=pl.BlockSpec(
+            (1, 1, ht, UF, r * Co), lambda n, j, d: (n, d, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, D, H, UF, r * Co), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((db + 2, hb + 2, W, ci), x.dtype),
-            pltpu.VMEM((db, hb, W + 2, 3 * co), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((4, ht + 2, UF, r * C), x.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 27 * n * D * H * W * ci * co,
-            bytes_accessed=(n * D * H * W * (ci + co)) * x.dtype.itemsize,
+            flops=2 * 27 * C * Co * n * D * H * W,
+            bytes_accessed=(n * D * H * W * (C + Co)) * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(xp, kz)
+    )(xp, km)
+    return out.reshape(n, D, H, W, Co)
 
 
-def _dk_kernel(xp_ref, gp_ref, dk_ref, xwin, gwin, sem1, sem2,
-               *, DB, HB, W, ci, co):
-    i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    cp1 = pltpu.make_async_copy(
-        xp_ref.at[i, pl.ds(j * DB, DB + 2), pl.ds(k * HB, HB + 2)], xwin, sem1
-    )
-    cp2 = pltpu.make_async_copy(
-        gp_ref.at[i, pl.ds(j * DB, DB), pl.ds(k * HB, HB)], gwin, sem2
-    )
-    cp1.start()
-    cp2.start()
-    cp1.wait()
-    cp2.wait()
-    m = DB * HB * W
-    # cotangent with the 3 kw shifts on lanes: gcat (M, 3co);
-    # gcat[:, dw] = g[w + 1 - dw] (gp is W-padded by 1 each side)
-    gcat = jnp.concatenate(
-        [gwin[:, :, 2 - dw:2 - dw + W].reshape(m, co) for dw in range(3)], axis=1
-    )
-    parts = []
-    for dd in range(3):
-        for dh in range(3):
-            parts.append(xwin[dd:dd + DB, dh:dh + HB].reshape(m, ci))
-    P = jnp.concatenate(parts, axis=1)                       # (M, 9ci)
-    acc = lax.dot_general(
-        P, gcat, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                         # (9ci, 3co)
+def _dk_kernel(xp_ref, ge_ref, dk_ref, ring, gslab, sems, gsem,
+               *, ht, UF, r, C, Co, D, GL):
+    n = pl.program_id(0)
+    j = pl.program_id(1)
+    d = pl.program_id(2)
+    h0 = j * ht
 
-    @pl.when((i == 0) & (j == 0) & (k == 0))
+    def dma(pad_idx, slot):
+        return pltpu.make_async_copy(
+            xp_ref.at[n, pad_idx, pl.ds(h0, ht + 2), :, :],
+            ring.at[slot], sems.at[slot],
+        )
+
+    gcp = pltpu.make_async_copy(
+        ge_ref.at[n, d, pl.ds(h0, ht), :, :], gslab, gsem
+    )
+    gcp.start()
+
+    @pl.when(d == 0)
+    def _():
+        dma(0, 0).start()
+        dma(1, 1).start()
+        dma(2, 2).start()
+        dma(0, 0).wait()
+        dma(1, 1).wait()
+
+    @pl.when(d + 3 < D + 2)
+    def _():
+        dma(d + 3, (d + 3) % 4).start()
+
+    dma(d + 2, (d + 2) % 4).wait()
+    gcp.wait()
+
+    M = ht * UF
+    merged = []
+    for kd in range(3):
+        slab = ring[(d + kd) % 4]
+        for kh in range(3):
+            merged.append(slab[kh:kh + ht].reshape(M, r * C))
+    gm = gslab[:].reshape(M, GL)
+
+    first = (n == 0) & (j == 0) & (d == 0)
+
+    @pl.when(first)
     def _():
         dk_ref[:] = jnp.zeros_like(dk_ref)
 
+    acc = jnp.zeros((9 * C, 3 * Co), jnp.float32)
+    for pw in range(r):
+        patches = jnp.concatenate(
+            [m[:, pw * C:(pw + 1) * C] for m in merged], axis=-1
+        )  # (M, 9C)
+        gsel = gm[:, pw * Co:(pw + 3) * Co]  # slots pw..pw+2 = dw 2,1,0
+        acc = acc + lax.dot_general(
+            patches, gsel, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     dk_ref[:] += acc
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def conv3d_dk_pallas(x, g, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("ht", "interpret"))
+def conv3d_dk_pallas(x, g, ht: int | None = None, interpret: bool = False):
     """Kernel gradient of the stride-1 SAME 3x3x3 conv.
 
-    x (N,D,H,W,Ci) input, g (N,D,H,W,Co) cotangent -> (3,3,3,Ci,Co) f32.
-    """
-    n, D, H, W, ci = x.shape
-    co = g.shape[-1]
-    db, hb = _pick_blocks(D, H, W, ci, co)
+    x (N,D,H,W,C) input, g (N,D,H,W,Co) cotangent -> (3,3,3,C,Co) f32.
+    Same shape constraints as conv3d_fwd_pallas."""
+    n, D, H, W, C = x.shape
+    Co = g.shape[-1]
+    r = _fold(C)
+    assert W % r == 0 and r * C == 128, (W, C)
+    UF = W // r
+    if ht is None:
+        ht = _pick_ht(H)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    xp = xp.reshape(n, D + 2, H + 2, UF, r * C)
+    # slotted cotangent: slot s holds g at w = u*r + s - 1; lane count
+    # padded up to a 128 multiple (HBM tiling rejects partial-tile DMAs)
     gp = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
-    grid = (n, D // db, H // hb)
+    ge = jnp.concatenate(
+        [gp[:, :, :, s:s + UF * r:r, :] for s in range(r + 2)], axis=-1
+    )  # (n, D, H, UF, (r+2)Co)
+    slots = (r + 2) * Co
+    slots_pad = -slots % 128
+    if slots_pad:
+        ge = jnp.pad(ge, ((0, 0),) * 4 + ((0, slots_pad),))
+    GL = slots + slots_pad
+    grid = (n, H // ht, D)
     out = pl.pallas_call(
-        functools.partial(_dk_kernel, DB=db, HB=hb, W=W, ci=ci, co=co),
+        functools.partial(_dk_kernel, ht=ht, UF=UF, r=r, C=C, Co=Co, D=D, GL=GL),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((9 * ci, 3 * co), lambda i, j, k: (0, 0),
+        out_specs=pl.BlockSpec((9 * C, 3 * Co), lambda n, j, d: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((9 * ci, 3 * co), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((9 * C, 3 * Co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((db + 2, hb + 2, W, ci), x.dtype),
-            pltpu.VMEM((db, hb, W + 2, co), g.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((4, ht + 2, UF, r * C), x.dtype),
+            pltpu.VMEM((ht, UF, GL), g.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * 27 * n * D * H * W * ci * co,
-            bytes_accessed=(n * D * H * W * (ci + co)) * x.dtype.itemsize,
+            flops=2 * 27 * C * Co * n * D * H * W,
+            bytes_accessed=(n * D * H * W * (C + Co)) * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(xp, gp)
-    # rows are (dd, dh, ci); lanes are (dw, co)
-    dk = out.reshape(3, 3, ci, 3, co)
+    )(xp, ge)
+    # rows are (kd, kh, C); lanes are (dw reversed, Co)
+    dk = out.reshape(3, 3, C, 3, Co)[:, :, :, ::-1, :]
     return jnp.transpose(dk, (0, 1, 3, 2, 4))

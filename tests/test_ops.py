@@ -482,6 +482,43 @@ def test_conv3d_kwfold_matches_native(rng):
                                    atol=1e-3)
 
 
+def test_conv3d_pallas_kernels_interpret(rng):
+    """Folded-lane Pallas conv3d fwd + dK match lax / per-tap exactly
+    (interpret mode; the real-TPU path is measured in PERF.md)."""
+    from jax import lax
+
+    from dsmnet_tpu.ops.conv3d import _dk_pertap
+    from dsmnet_tpu.ops.conv3d_pallas import conv3d_dk_pallas, conv3d_fwd_pallas
+
+    for shape, co in [((1, 6, 8, 16, 32), 32), ((2, 4, 8, 8, 64), 32)]:
+        ci = shape[-1]
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, 3, ci, co).astype(np.float32) * 0.1)
+        g = jnp.asarray(rng.randn(*shape[:-1], co).astype(np.float32))
+        dn = lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+        ref = lax.conv_general_dilated(x, k, (1, 1, 1), [(1, 1)] * 3,
+                                       dimension_numbers=dn)
+        out = conv3d_fwd_pallas(x, k, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        dk = conv3d_dk_pallas(x, g, interpret=True)
+        np.testing.assert_allclose(np.asarray(dk),
+                                   np.asarray(_dk_pertap(x, g, 3, 3, 3)),
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_conv3d_dk_ntap_matches_pertap(rng):
+    """Tiny-Cout taps-on-N kernel gradient is exact (used for Co<8,
+    e.g. the PSMNet classifier's 1-channel head)."""
+    from dsmnet_tpu.ops.conv3d import _dk_ntap, _dk_pertap
+
+    x = jnp.asarray(rng.randint(-3, 4, (2, 5, 6, 7, 16)).astype(np.float32))
+    g = jnp.asarray(rng.randint(-3, 4, (2, 5, 6, 7, 1)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(_dk_ntap(x, g, 3, 3, 3)),
+                                  np.asarray(_dk_pertap(x, g, 3, 3, 3)))
+
+
 def test_deconv3d_parity_matches_native(rng):
     """Parity-folded transposed conv is exact, incl. odd input sizes and
     gradients (ops/conv3d.py deconv3d_k3s2)."""
