@@ -116,8 +116,13 @@ class DispNetC(nn.Module):
         assert imL.shape == imR.shape
         conv1 = ConvBN(64, 7, 2, name="conv1")
         conv2 = ConvBN(128, 5, 2, name="conv2")
-        conv1L, conv1R = conv1(imL, train), conv1(imR, train)
-        conv2L, conv2R = conv2(conv1L, train), conv2(conv1R, train)
+        # both views through the shared towers as one batch-2N pass
+        # (layers.siamese; no BN in this family, bit-identical per view)
+        n = imL.shape[0]
+        conv1LR = conv1(jnp.concatenate([imL, imR], axis=0), train)
+        conv2LR = conv2(conv1LR, train)
+        conv1L = conv1LR[:n]
+        conv2L, conv2R = conv2LR[:n], conv2LR[n:]
 
         corr = corr1d(conv2L, conv2R, D=self.corr_d)
         redir = ConvBN(64, 1, 1, name="redir")(conv2L, train)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops import concat_cost_volume, soft_argmin
 from ..parallel.context import shard_activation
-from .layers import ConvBN, DeconvBN, crop_add, res_stack_gc
+from .layers import ConvBN, DeconvBN, crop_add, res_stack_gc, siamese
 
 __all__ = ["GCNet", "GCNetLR"]
 
@@ -83,9 +83,10 @@ class GCNet(nn.Module):
     def __call__(self, imL, imR, train: bool = True, clamp: bool = False):
         assert imL.shape == imR.shape
         feat = _Feature2D(name="layer2d")
-        # H-shard the 2-D towers under a spatial mesh axis (see psmnet.py)
-        fL = shard_activation(feat(imL, train))
-        fR = shard_activation(feat(imR, train))
+        # one batch-2N tower pass (layers.siamese) + H-sharding (psmnet.py)
+        fL, fR = siamese(lambda x, t: feat(x, t), imL, imR, train)
+        fL = shard_activation(fL)
+        fR = shard_activation(fR)
         D = self.maxdisparity // 2
         vol = concat_cost_volume(fL, fR, D, mask_left=False)
         disp = _Feature3D(name="layer3d")(vol, train)
@@ -114,9 +115,10 @@ class GCNetLR(nn.Module):
     def __call__(self, imL, imR, train: bool = True):
         assert imL.shape == imR.shape
         feat = _Feature2D(name="layer2d")
-        # H-shard the 2-D towers under a spatial mesh axis (see psmnet.py)
-        fL = shard_activation(feat(imL, train))
-        fR = shard_activation(feat(imR, train))
+        # one batch-2N tower pass (layers.siamese) + H-sharding (psmnet.py)
+        fL, fR = siamese(lambda x, t: feat(x, t), imL, imR, train)
+        fL = shard_activation(fL)
+        fR = shard_activation(fR)
         D = self.maxdisparity // 2
         volL = concat_cost_volume(fL, fR, D, mask_left=False)
         # right-view volume == left-view volume of the horizontally

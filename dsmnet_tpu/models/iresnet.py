@@ -46,14 +46,17 @@ class IResNet(nn.Module):
         deconv2_s = DeconvBN(32, 8, 4, name="deconv2_s")
         conv_de = ConvBN(32, 1, 1, name="conv_de1_de2")
 
-        conv1L, conv1R = conv1(imL, train), conv1(imR, train)
-        conv2L, conv2R = conv2(conv1L, train), conv2(conv1R, train)
-        up1L = deconv1_s(conv1L, train)[:, :h, :w, :]
-        up1R = deconv1_s(conv1R, train)[:, :h, :w, :]
-        up2L = deconv2_s(conv2L, train)
-        up2R = deconv2_s(conv2R, train)
-        descL = conv_de(crop_cat(up1L, up2L), train)
-        descR = conv_de(crop_cat(up1R, up2R), train)
+        # both views through the shared stem as one batch-2N pass
+        # (layers.siamese; no BN in this family, bit-identical per view)
+        n = imL.shape[0]
+        conv1LR = conv1(jnp.concatenate([imL, imR], axis=0), train)
+        conv2LR = conv2(conv1LR, train)
+        up1LR = deconv1_s(conv1LR, train)[:, :h, :w, :]
+        up2LR = deconv2_s(conv2LR, train)
+        descLR = conv_de(crop_cat(up1LR, up2LR), train)
+        conv1L, conv1R = conv1LR[:n], conv1LR[n:]
+        conv2L, conv2R = conv2LR[:n], conv2LR[n:]
+        descL, descR = descLR[:n], descLR[n:]
 
         # ---- initial disparity subnet (iresnet.py:107-165)
         corr = corr1d(conv2L, conv2R, D=81)
@@ -108,13 +111,15 @@ class IResNet(nn.Module):
         r_iconv0_m = ConvBN(32, 3, 1, name="r_iconv0")
         r_res0_m = _PrHead(name="r_res0")
 
+        # loop-invariant shared projection, both views in one batch pass
+        c1LR = c_conv1_m(conv1LR, train)
+        c1L, c1R = c1LR[:n], c1LR[n:]
+
         for _ in range(self.iterations):
             w_descL = imwarp(descR, -r_pr0)
             recon_err = jnp.abs(descL - w_descL)
             r_conv0 = r_conv0_m(crop_cat(recon_err, r_pr0, descL), train)
             r_conv1 = r_conv1_m(r_conv0, train)
-            c1L = c_conv1_m(conv1L, train)
-            c1R = c_conv1_m(conv1R, train)
             r_corr = corr1d(c1L, c1R, D=41, stride=2, kernel_size=3)
             r_conv1_1 = r_conv1_1_m(crop_cat(r_conv1, r_corr), train)
             r_conv2_1 = r_conv2_1_m(r_conv2_m(r_conv1_1, train), train)

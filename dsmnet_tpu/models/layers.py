@@ -362,6 +362,22 @@ class res_stack_gc(nn.Module):
         return x
 
 
+def siamese(tower, imL, imR, train: bool = True):
+    """Run a weight-shared feature tower over both views as ONE
+    batch-2N apply instead of two sequential calls (the reference runs
+    e.g. feature_extraction(left) then (right),
+    psmnet/stackhourglass.py:119-120).  Halves the XLA op count — one
+    conv and one kernel-gradient per layer instead of two — which
+    matters because the tower's weight gradients are a large share of
+    the train step (PERF.md round 3).  For BN towers the batch
+    statistics pool over both views (cross-view sync-BN): a deliberate
+    deviation from the reference's per-call stats, strictly more
+    samples per statistic."""
+    n = imL.shape[0]
+    f = tower(jnp.concatenate([imL, imR], axis=0), train)
+    return f[:n], f[n:]
+
+
 def crop_cat(*xs):
     """Crop NHWC/NDHWC operands to the min common spatial size, concat on
     channels (util_fun.py:7-27 myCat2d/myCat3d)."""

@@ -34,6 +34,7 @@ from .layers import (
     conv_kernel_init,
     crop_add,
     default_dtype,
+    siamese,
     torch_fanin_uniform,
 )
 
@@ -167,11 +168,13 @@ class PSMNet(nn.Module):
     def __call__(self, imL, imR, train: bool = True, clamp: bool = False):
         assert imL.shape == imR.shape
         feat = _FeatureExtraction(name="feature_extraction")
-        # H-shard the 2-D towers under a spatial mesh axis so they are not
-        # fully replicated when the cost volume is sharded (GSPMD inserts
-        # the conv halo exchanges)
-        fL = shard_activation(feat(imL, train))
-        fR = shard_activation(feat(imR, train))
+        # one batch-2N tower pass for both views (layers.siamese); then
+        # H-shard the 2-D features under a spatial mesh axis so they are
+        # not fully replicated when the cost volume is sharded (GSPMD
+        # inserts the conv halo exchanges)
+        fL, fR = siamese(lambda x, t: feat(x, t), imL, imR, train)
+        fL = shard_activation(fL)
+        fR = shard_activation(fR)
 
         D4 = self.maxdisparity // 4
 

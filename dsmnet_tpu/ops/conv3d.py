@@ -100,10 +100,36 @@ def _pallas_ok(ci: int, W: int, H: int) -> bool:
     return ci >= 8 and 128 % ci == 0 and W % (128 // ci) == 0 and H % 8 == 0
 
 
+def _conv_tapfold(x, k):
+    """Stride-1 SAME conv with ALL taps folded into Cout: a 1x1x1 conv
+    (pure GEMM) to (taps*Co) channels, recombined by shifted adds.  The
+    winning forward for tiny Cout (classifier c1, Co=1): the native
+    conv is Cout-fill-bound at ~3 ms there while this runs in one
+    deep-K GEMM + one fused elementwise pass."""
+    kd, kh, kw, ci, co = k.shape
+    n, D, H, W, _ = x.shape
+    kz = jnp.transpose(k, (3, 0, 1, 2, 4)).reshape(1, 1, 1, ci, kd * kh * kw * co)
+    z = _conv(x, kz, [(0, 0)] * 3)                      # (n,D,H,W,taps*co)
+    zp = jnp.pad(z, ((0, 0), (kd // 2,) * 2, (kh // 2,) * 2, (kw // 2,) * 2,
+                     (0, 0)))
+    y = None
+    t = 0
+    for dd in range(kd):
+        for dh in range(kh):
+            for dw in range(kw):
+                piece = lax.dynamic_slice(
+                    zp, (0, dd, dh, dw, t * co), (n, D, H, W, co))
+                y = piece if y is None else y + piece
+                t += 1
+    return y
+
+
 def _conv_fast(x, k):
     """Stride-1 SAME conv — formulation picked by ops.config.conv3d_mode()."""
     from . import config
 
+    if k.shape[-1] < 8 and k.shape[-1] * k.shape[0] * k.shape[1] * k.shape[2] <= 32:
+        return _conv_tapfold(x, k)
     mode = config.conv3d_mode()
     if (
         mode == "pallas"

@@ -46,23 +46,25 @@ def trilinear_soft_argmin(
     Ah = jnp.asarray(interp_matrix(h, hc))
     Aw = jnp.asarray(interp_matrix(w, wc))
 
-    # D-upsample at coarse spatial res: 4x data, still small
+    # D- and H-upsamples run once at coarse W (the H-up output is only
+    # D*H*Wc floats); chunking starts at the W-up so each chunk reads
+    # just its own rows instead of re-reading the whole D-up volume
     x = jnp.einsum("ed,ndhw->nehw", Ad, x)  # (N, D, Hc, Wc)
+    x = jnp.einsum("ih,ndhw->ndiw", Ah, x)  # (N, D, H, Wc)
 
     if h % h_chunk:
         h_chunk = 1
     n_chunks = h // h_chunk
-    Ah_chunks = Ah.reshape(n_chunks, h_chunk, hc)
+    xc = jnp.moveaxis(x.reshape(n, d, n_chunks, h_chunk, wc), 2, 0)
 
     dvals = jnp.arange(d, dtype=jnp.float32)
 
-    def one_chunk(Ah_c):
-        rows = jnp.einsum("ih,ndhw->ndiw", Ah_c, x)     # (N, D, hc_chunk, Wc)
+    def one_chunk(rows):                                # (N, D, hc_chunk, Wc)
         full = jnp.einsum("jw,ndiw->ndij", Aw, rows)    # (N, D, hc_chunk, W)
         logits = -full if negate else full
         p = jax.nn.softmax(logits, axis=1)
         return jnp.einsum("ndij,d->nij", p, dvals)      # (N, hc_chunk, W)
 
-    out = lax.map(one_chunk, Ah_chunks)                 # (n_chunks, N, hc_chunk, W)
+    out = lax.map(one_chunk, xc)                        # (n_chunks, N, hc_chunk, W)
     out = jnp.moveaxis(out, 0, 1).reshape(n, h, w)
     return out[..., None]

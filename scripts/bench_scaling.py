@@ -16,10 +16,16 @@ from __future__ import annotations
 import os
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    # append (not setdefault): the axon sitecustomize pre-sets XLA_FLAGS
+    # at interpreter start, which would make a setdefault a no-op
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,15 +61,25 @@ def step_time(mesh, data, per_device_batch=1, h=64, w=96, iters=4):
 
 
 def main():
-    results = {}
+    # This host has 2 physical cores simulating 8 XLA devices, so naive
+    # weak scaling just measures total work.  The meaningful quantity
+    # here is SPMD overhead: sharded over N virtual devices vs ONE
+    # device at the SAME global batch — efficiency = t_1dev / t_Ndev.
+    # On real multi-chip hardware the same harness measures true weak
+    # scaling (each device is real compute).
+    base = {}
     for data in (1, 2, 4, 8):
+        gb = 8  # fixed global batch
+        mesh1 = parallel.make_mesh(data=1, model=1, devices=jax.devices()[:1])
+        if 1 not in base:
+            base[1] = step_time(mesh1, 1, per_device_batch=gb)
+            print(f"single-device, global batch {gb}: step {base[1]*1e3:8.1f} ms")
         mesh = parallel.make_mesh(data=data, model=1,
                                   devices=jax.devices()[:data])
-        t = step_time(mesh, data)
-        results[data] = t
-        eff = results[1] / t
-        print(f"data={data}: step {t*1e3:8.1f} ms | global batch {data} | "
-              f"weak-scaling efficiency {eff:6.1%}")
+        t = step_time(mesh, data, per_device_batch=gb // data)
+        eff = base[1] / t
+        print(f"data={data}: step {t*1e3:8.1f} ms | global batch {gb} | "
+              f"SPMD efficiency vs 1 device {eff:6.1%}")
 
 
 if __name__ == "__main__":
