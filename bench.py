@@ -145,7 +145,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--net", default="psmnet")
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
-    ap.add_argument("--batch", default=1, type=int)
+    # batch 4 = the reference's own SceneFlow recipe batch
+    # (DSMnet_train_sceneflow.sh:11) and the best measured fps/chip
+    ap.add_argument("--batch", default=4, type=int)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--ops", action="store_true")
     ap.add_argument("--fwd", action="store_true")
@@ -164,7 +166,7 @@ def main():
         for w, b in bench_memory(args.net).items():
             print(f"# {args.net}_peak_bytes_w{w}: {b}")
     if args.scaling:
-        for b in (1, 2, 4):
+        for b in (1, 2, 4, 8):
             try:
                 fps = bench_train(args.net, batch=b, dtype=args.dtype,
                                   remat=args.remat)

@@ -126,6 +126,125 @@ def _assemble_jnp(A, B, D, W, mask_left, dtype, d_values=None, w_values=None):
     return out
 
 
+def _stem_bwd(fL, fR, kernel, D, mask_left, g):
+    """Manual VJP of the fused volume+conv — scatter-free.
+
+    XLA's autodiff of the assembly turns the nine B-map gathers into
+    volume-sized scatter-adds (full stem grad 12.2 ms at the PSMNet
+    shape), and gather-based backwards are worse still on TPU (seconds).
+    This version is gather- AND scatter-free:
+
+      * dA[(dd,dw)][w] = sum_d g[d,w]*(d <= w+dw-dd) — a masked
+        D-reduction with an iota mask;
+      * dB[(dd,dw)][v] = sum_d g[d, v+d+dd-dw] — an anti-diagonal sum,
+        realized by re-viewing the W-padded volume with row length
+        Wp+1 (the classic skew-reshape trick), after which the
+        diagonal becomes a uniform column slice.
+
+    Exact — verified against jax.vjp of the raw decomposition
+    (tests/test_ops.py)."""
+    f = fL.shape[-1]
+    n, h, W = fL.shape[0], fL.shape[1], fL.shape[2]
+    o = kernel.shape[-1]
+    KL = kernel[..., :f, :].astype(jnp.float32)
+    KR = kernel[..., f:, :].astype(jnp.float32)
+    S = jnp.sum(g, axis=1, dtype=jnp.float32)          # (n,h,W,o)
+    d_col = jnp.arange(D)[None, :, None, None, None]   # (1,D,1,1,1)
+    w_col = jnp.arange(W)[None, None, None, :, None]   # (1,1,1,W,1)
+
+    # H-shifted input stacks reused by every tap's kernel gradient
+    fLp = jnp.pad(fL, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    fRp = jnp.pad(fR, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    fLs = jnp.stack([fLp[:, kh:kh + h] for kh in range(3)])
+    fRs = jnp.stack([fRp[:, kh:kh + h] for kh in range(3)])
+
+    # skewed views of the cotangent, one per dw (wext column masking):
+    # skew[d, j] = g[d, w = j + d - 2], so the (dd,dw) anti-diagonal is
+    # the uniform column slice j = v + (dd - dw) + 2
+    gt = jnp.moveaxis(g, 1, 2)                         # (n,h,D,W,o)
+    Wp = W + D + 4
+    skews = {}
+    for dw in (-1, 0, 1):
+        gdw = gt
+        if dw == 1:        # wext: w+1 <= W-1 -> zero w = W-1
+            gdw = gdw.at[:, :, :, W - 1, :].set(0)
+        elif dw == -1:     # wext: w-1 >= 0 -> zero w = 0
+            gdw = gdw.at[:, :, :, 0, :].set(0)
+        gp = jnp.pad(gdw, ((0, 0), (0, 0), (0, 0), (2, D + 2), (0, 0)))
+        flat = gp.reshape(n, h, D * Wp, o)
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, D), (0, 0)))
+        skews[dw] = flat.reshape(n, h, D, Wp + 1, o)
+
+    dfL = jnp.zeros(fL.shape, jnp.float32)
+    dfR = jnp.zeros(fR.shape, jnp.float32)
+    dKL = jnp.zeros(KL.shape, jnp.float32)
+    dKR = jnp.zeros(KR.shape, jnp.float32)
+
+    for i, dd in enumerate((-1, 0, 1)):
+        for k, dw in enumerate((-1, 0, 1)):
+            # ---- left cotangent map: dA = sum_d g * lmask ----
+            if mask_left:
+                mask = d_col <= w_col + (dw - dd)
+                if dd == -1:
+                    mask = mask & (d_col >= 1)
+                elif dd == 1:
+                    mask = mask & (d_col <= D - 2)
+                dA = jnp.sum(jnp.where(mask, g, 0), axis=1,
+                             dtype=jnp.float32)
+            else:
+                dA = S
+                if dd == -1:
+                    dA = S - g[:, 0].astype(jnp.float32)
+                elif dd == 1:
+                    dA = S - g[:, D - 1].astype(jnp.float32)
+            dC = _shift_w(dA, -dw)                      # shift_w transpose
+            k2 = jnp.flip(KL[i, :, k], 0).swapaxes(1, 2)
+            dfL = dfL + _conv_dh(dC, k2)
+            dKL = dKL.at[i, :, k].add(jnp.einsum(
+                "knhwf,nhwo->kfo", fLs, dC.astype(fLs.dtype),
+                preferred_element_type=jnp.float32))
+
+            # ---- right cotangent map: dB[v] = sum_d g[d, v+d+dd-dw] ----
+            sl = skews[dw][:, :, :, 2 + dd - dw: 2 + dd - dw + W, :]
+            rowmask = jnp.ones((1, 1, D, 1, 1), bool)
+            if dd == -1:
+                rowmask = d_col.swapaxes(1, 2) >= 1
+            elif dd == 1:
+                rowmask = d_col.swapaxes(1, 2) <= D - 2
+            dB = jnp.sum(jnp.where(rowmask, sl, 0), axis=2,
+                         dtype=jnp.float32)            # (n,h,W,o)
+            k2r = jnp.flip(KR[i, :, k], 0).swapaxes(1, 2)
+            dfR = dfR + _conv_dh(dB, k2r)
+            dKR = dKR.at[i, :, k].add(jnp.einsum(
+                "knhwf,nhwo->kfo", fRs, dB.astype(fRs.dtype),
+                preferred_element_type=jnp.float32))
+
+    dkernel = jnp.concatenate([dKL, dKR], axis=-2).astype(kernel.dtype)
+    return dfL.astype(fL.dtype), dfR.astype(fR.dtype), dkernel
+
+
+def cost_volume_conv3x3_raw(fL, fR, kernel, D: int, mask_left: bool = True):
+    """Autodiff-able decomposition (no custom VJP) — test reference."""
+    A, B = _tap_maps(fL, fR, kernel)
+    return _assemble_jnp(A, B, D, fL.shape[2], mask_left, fL.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_jnp(fL, fR, kernel, D, mask_left):
+    return cost_volume_conv3x3_raw(fL, fR, kernel, D, mask_left)
+
+
+def _fused_jnp_fwd(fL, fR, kernel, D, mask_left):
+    return cost_volume_conv3x3_raw(fL, fR, kernel, D, mask_left), (fL, fR, kernel)
+
+
+def _fused_jnp_bwd(D, mask_left, res, g):
+    return _stem_bwd(*res, D, mask_left, g)
+
+
+_fused_jnp.defvjp(_fused_jnp_fwd, _fused_jnp_bwd)
+
+
 def cost_volume_conv3x3(fL, fR, kernel, D: int, mask_left: bool = True,
                         use_pallas: bool | None = None, interpret: bool = False):
     """Fused volume+conv via the tap-map decomposition.
@@ -148,8 +267,7 @@ def cost_volume_conv3x3(fL, fR, kernel, D: int, mask_left: bool = True,
     if use_pallas:
         out = _fused_pallas(fL, fR, kernel, D, mask_left, interpret)
     else:
-        A, B = _tap_maps(fL, fR, kernel)
-        out = _assemble_jnp(A, B, D, fL.shape[2], mask_left, fL.dtype)
+        out = _fused_jnp(fL, fR, kernel, D, mask_left)
     return shard_cost_volume(out)
 
 
@@ -256,13 +374,7 @@ def _fused_vjp_fwd(fL, fR, kernel, D, mask_left, interpret):
 
 
 def _fused_vjp_bwd(D, mask_left, interpret, res, g):
-    fL, fR, kernel = res
-    # backward through the (differentiable) jnp decomposition
-    _, vjp = jax.vjp(
-        lambda a, b, k: cost_volume_conv3x3(a, b, k, D, mask_left, use_pallas=False),
-        fL, fR, kernel,
-    )
-    return vjp(g)
+    return _stem_bwd(*res, D, mask_left, g)
 
 
 _fused_pallas.defvjp(_fused_vjp_fwd, _fused_vjp_bwd)

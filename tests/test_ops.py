@@ -482,6 +482,28 @@ def test_conv3d_kwfold_matches_native(rng):
                                    atol=1e-3)
 
 
+def test_stem_manual_backward_matches_autodiff(rng):
+    """Scatter-free manual VJP of the fused volume+conv equals autodiff
+    of the raw decomposition (ops/fused_costvol.py _stem_bwd)."""
+    from dsmnet_tpu.ops.fused_costvol import _stem_bwd, cost_volume_conv3x3_raw
+
+    for (n, h, w, f, o, D, ml) in [(1, 6, 12, 4, 5, 6, True),
+                                   (2, 5, 10, 3, 4, 5, False)]:
+        fL = jnp.asarray(rng.randn(n, h, w, f).astype(np.float32))
+        fR = jnp.asarray(rng.randn(n, h, w, f).astype(np.float32))
+        K = jnp.asarray(rng.randn(3, 3, 3, 2 * f, o).astype(np.float32) * 0.1)
+        g = jnp.asarray(rng.randn(n, D, h, w, o).astype(np.float32))
+
+        def loss(a, b, k):
+            return jnp.sum(cost_volume_conv3x3_raw(a, b, k, D, ml) * g)
+
+        ref = jax.grad(loss, argnums=(0, 1, 2))(fL, fR, K)
+        man = _stem_bwd(fL, fR, K, D, ml, g)
+        for r, m in zip(ref, man):
+            np.testing.assert_allclose(np.asarray(m), np.asarray(r),
+                                       rtol=1e-4, atol=1e-4)
+
+
 def test_conv3d_pallas_kernels_interpret(rng):
     """Folded-lane Pallas conv3d fwd + dK match lax / per-tap exactly
     (interpret mode; the real-TPU path is measured in PERF.md)."""
