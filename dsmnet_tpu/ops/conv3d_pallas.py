@@ -52,11 +52,30 @@ def _fold(ci):
     return r
 
 
-def _pick_ht(H):
+def _pick_ht(H, UF, C, Co, r, itemsize, n_slabs=4, gl=0):
+    """Largest ht whose kernel working set stays well under VMEM.
+
+    Counts the DMA ring, one parity's patch matrix, the f32 GEMM
+    output, the per-parity f32 accumulators, the double-buffered
+    output block and (for dK) the cotangent slab, with 2x slack for
+    Mosaic temporaries — f32 at wide shapes otherwise overflows the
+    16 MB scoped-vmem budget."""
     ht = 32
-    while H % ht:
+    while ht > 1:
+        if H % ht == 0:
+            m = ht * UF
+            est = (
+                n_slabs * (ht + 2) * UF * r * C * itemsize  # ring
+                + m * 9 * C * itemsize                       # patches
+                + m * 3 * Co * 4                             # GEMM out
+                + m * r * Co * 4                             # parity accs
+                + 2 * ht * UF * r * Co * itemsize            # out blocks
+                + ht * UF * gl * itemsize                    # dK g slab
+            )
+            if est * 2 <= 14_000_000:
+                return ht
         ht //= 2
-    return ht
+    return 1
 
 
 def _fwd_kernel(xp_ref, km_ref, out_ref, ring, sems, *, ht, UF, r, C, Co, D):
@@ -133,7 +152,7 @@ def conv3d_fwd_pallas(x, k, ht: int | None = None, interpret: bool = False):
     assert W % r == 0 and r * C == 128, (W, C)
     UF = W // r
     if ht is None:
-        ht = _pick_ht(H)
+        ht = _pick_ht(H, UF, C, Co, r, x.dtype.itemsize)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
     xp = xp.reshape(n, D + 2, H + 2, UF, r * C)
     km = k.transpose(0, 1, 3, 2, 4).reshape(9 * C, 3 * Co).astype(x.dtype)
@@ -236,7 +255,8 @@ def conv3d_dk_pallas(x, g, ht: int | None = None, interpret: bool = False):
     assert W % r == 0 and r * C == 128, (W, C)
     UF = W // r
     if ht is None:
-        ht = _pick_ht(H)
+        ht = _pick_ht(H, UF, C, Co, r, x.dtype.itemsize,
+                      gl=(r + 2) * Co + (-((r + 2) * Co) % 128))
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
     xp = xp.reshape(n, D + 2, H + 2, UF, r * C)
     # slotted cotangent: slot s holds g at w = u*r + s - 1; lane count
