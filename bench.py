@@ -131,9 +131,19 @@ def bench_memory(net="dispnetcorr", widths=(512, 768, 1024), h=384):
         imL = jnp.zeros((1, h, w, 3), jnp.float32)
         variables = model.init(jax.random.PRNGKey(0), imL, imL, train=False)
         fwd = jax.jit(lambda v, a, b: model.apply(v, a, b, train=False)[1][0])
-        jax.block_until_ready(fwd(variables, imL, imL))
-        stats = jax.local_devices()[0].memory_stats() or {}
-        out[w] = stats.get("peak_bytes_in_use", stats.get("bytes_in_use", -1))
+        compiled = fwd.lower(variables, imL, imL).compile()
+        ma = compiled.memory_analysis()
+        if ma is not None:
+            # compile-time HBM footprint: live temps + args + outputs
+            # (runtime memory_stats() is unavailable through the remote
+            # attachment)
+            out[w] = int(ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                         + ma.output_size_in_bytes)
+        else:
+            jax.block_until_ready(fwd(variables, imL, imL))
+            stats = jax.local_devices()[0].memory_stats() or {}
+            out[w] = stats.get("peak_bytes_in_use",
+                               stats.get("bytes_in_use", -1))
     return out
 
 
