@@ -92,6 +92,40 @@ def bench_train(net="psmnet", h=384, w=768, batch=1, dtype="float32", remat=Fals
     return batch / t
 
 
+def bench_selfsup(net="dispnetcorr", h=384, w=768, batch=1, dtype="bfloat16"):
+    """Self-supervised step throughput: flip + color-aug + DOUBLE forward
+    + photometric pyramid loss + Adam, all in one jit (the reference's
+    KITTI-raw depthmono-mask recipe, DSMnet_train_kitti-raw.sh)."""
+    import contextlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from dsmnet_tpu.losses import parse_loss_name
+    from dsmnet_tpu.models import create_model
+    from dsmnet_tpu.models.layers import compute_dtype
+    from dsmnet_tpu.train import create_train_state, make_selfsup_train_step
+    from dsmnet_tpu.utils import time_pytree_step
+
+    model = create_model(net, maxdisparity=192)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), sample_hw=(64, 128))
+    spec = parse_loss_name("depthmono-mask", model.count_levels, 1)
+    step = make_selfsup_train_step(model, tx, spec.photo, nedge=64)
+    weights = jnp.asarray(spec.weights(10))
+    rng = np.random.RandomState(0)
+    b = jnp.asarray(rng.rand(batch, h, w, 6).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    def one(state, batch):
+        new_state, _ = step(state, batch, 1e-4, weights, key)
+        return new_state
+
+    ctx = compute_dtype(jnp.bfloat16) if dtype == "bfloat16" else contextlib.nullcontext()
+    with ctx:
+        t = time_pytree_step(one, state, b, n_small=1, n_big=4)
+    return batch / t
+
+
 def bench_ops():
     import jax.numpy as jnp
 
@@ -161,6 +195,7 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--ops", action="store_true")
     ap.add_argument("--fwd", action="store_true")
+    ap.add_argument("--selfsup", action="store_true")
     ap.add_argument("--memory", action="store_true")
     ap.add_argument("--scaling", action="store_true")
     args = ap.parse_args()
@@ -175,6 +210,9 @@ def main():
     if args.memory:
         for w, b in bench_memory(args.net).items():
             print(f"# {args.net}_peak_bytes_w{w}: {b}")
+    if args.selfsup:
+        fps = bench_selfsup(batch=args.batch, dtype=args.dtype)
+        print(f"# dispnetcorr_selfsup_fps_384x768_{args.dtype}_b{args.batch}: {fps:.3f}")
     if args.scaling:
         for b in (1, 2, 4, 8):
             try:
