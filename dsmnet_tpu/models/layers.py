@@ -111,6 +111,34 @@ def default_dtype():
     return _compute_dtype.get()
 
 
+class _FastConv3dS2(nn.Module):
+    """Drop-in for nn.Conv on k=3 s=2 p=1 3-D convs (hourglass
+    down-stages) using ops.conv3d.conv3d_s2 — same parameter structure
+    and init; space-to-depth GEMM + per-tap dK on TPU."""
+
+    features: int
+    use_bias: bool
+    kernel_init: Callable
+    bias_init: Callable
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.conv3d import conv3d_s2
+
+        kshape = (3, 3, 3, x.shape[-1], self.features)
+        kern = self.param("kernel", self.kernel_init, kshape)
+        dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)
+            kern = kern.astype(dt)
+        y = conv3d_s2(x, kern)
+        if self.use_bias:
+            b = self.param("bias", self.bias_init, (self.features,))
+            y = y + (b.astype(dt) if dt is not None else b)
+        return y
+
+
 class _FastConv3d(nn.Module):
     """Drop-in for nn.Conv on eligible 3-D convs (stride 1, SAME,
     undilated) using ops.conv3d.conv3d_same — same parameter structure
@@ -214,9 +242,22 @@ class ConvBN(nn.Module):
             and all(dd == 1 for dd in dil)
             and tuple(pad) == tuple((kk - 1) // 2 for kk in k)
         )
+        fast3d_s2 = (
+            self.dims == 3
+            and k == (3, 3, 3)
+            and s == (2, 2, 2)
+            and all(dd == 1 for dd in dil)
+            and tuple(pad) == (1, 1, 1)
+            and all(dim % 2 == 0 for dim in x.shape[1:4])
+        )
         if fast3d:
             x = _FastConv3d(
                 self.features, k, self.use_bias, kinit,
+                _fanin_uniform_bias(fan_in), dt, name="Conv_0",
+            )(x)
+        elif fast3d_s2:
+            x = _FastConv3dS2(
+                self.features, self.use_bias, kinit,
                 _fanin_uniform_bias(fan_in), dt, name="Conv_0",
             )(x)
         else:

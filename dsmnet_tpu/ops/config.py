@@ -53,6 +53,24 @@ def conv3d_dk_mode() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "pertap"
 
 
+# stride-2 3x3x3 conv formulation (ops/conv3d.py conv3d_s2):
+#   "native" — lax strided conv (XLA lowering ~9 TFLOP/s at conv1 shape)
+#   "s2d"    — space-to-depth + dense (2,2,2) conv (2.37x FLOPs, deep
+#              full-tile GEMM); measured SLOWER than native forward
+#              (1.85 vs 1.42 ms at conv1 shape) — the fill win does not
+#              cover the FLOP blowup.  The custom VJP still computes dK
+#              on the s2d view in either mode (2.73 -> 2.53 ms full
+#              grad), so only the forward formulation toggles here.
+#   None     — auto: native
+conv3d_s2: str | None = None
+
+
+def conv3d_s2_mode() -> str:
+    if conv3d_s2 is not None:
+        return conv3d_s2
+    return "native"
+
+
 def pallas_enabled(override: bool | None = None) -> bool:
     if override is not None:
         return override

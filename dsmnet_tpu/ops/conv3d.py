@@ -258,6 +258,101 @@ conv3d_same.defvjp(_fwd, _bwd)
 
 
 # ---------------------------------------------------------------------------
+# k=3 stride-2 conv (hourglass down-path) via space-to-depth
+# ---------------------------------------------------------------------------
+
+def _space_to_depth3(x):
+    """(N,D,H,W,C) -> (N,D/2,H/2,W/2,8C); channel order (pd,ph,pw,c)."""
+    n, D, H, W, c = x.shape
+    x = x.reshape(n, D // 2, 2, H // 2, 2, W // 2, 2, c)
+    x = jnp.transpose(x, (0, 1, 3, 5, 2, 4, 6, 7))
+    return x.reshape(n, D // 2, H // 2, W // 2, 8 * c)
+
+
+def _s2d_kernel(k):
+    """Map a (3,3,3,Ci,Co) s2/p1 kernel onto the dense (2,2,2,8Ci,Co)
+    kernel of the space-to-depth formulation.  1-D identity: input index
+    2p+t-1 = 2(p-1+o)+q with window offset o and parity q, so t = 2o+q-1
+    ((o,q)=(0,0) is out of kernel support -> zero slot).  64/27 = 2.37x
+    dense FLOPs, but the GEMM runs 8Ci deep with full M tiles instead of
+    XLA's strided-conv lowering (~9 TFLOP/s at the conv1 shape)."""
+    ci, co = k.shape[3], k.shape[4]
+    k2 = jnp.zeros((2, 2, 2, 2, 2, 2, ci, co), k.dtype)
+    for od in range(2):
+        for oh in range(2):
+            for ow in range(2):
+                for pd in range(2):
+                    for ph in range(2):
+                        for pw in range(2):
+                            td, th, tw = 2 * od + pd - 1, 2 * oh + ph - 1, 2 * ow + pw - 1
+                            if 0 <= td <= 2 and 0 <= th <= 2 and 0 <= tw <= 2:
+                                k2 = k2.at[od, oh, ow, pd, ph, pw].set(k[td, th, tw])
+    return k2.reshape(2, 2, 2, 8 * ci, co)
+
+
+def _conv_s2_s2d(x, k):
+    """Exact k=3 s=2 p=1 conv via space-to-depth + dense (2,2,2) conv."""
+    x2 = _space_to_depth3(x)
+    return _conv(x2, _s2d_kernel(k), [(1, 0)] * 3)
+
+
+def _conv_s2_native(x, k):
+    dn = lax.conv_dimension_numbers(x.shape, k.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    return lax.conv_general_dilated(x, k, (2, 2, 2), [(1, 1)] * 3,
+                                    dimension_numbers=dn)
+
+
+@jax.custom_vjp
+def conv3d_s2(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """stride-2 SAME(p=1) 3x3x3 conv; x (N,D,H,W,Ci) with even D/H/W,
+    k (3,3,3,Ci,Co).  Space-to-depth formulation on TPU."""
+    from . import config
+
+    if config.conv3d_s2_mode() == "s2d":
+        return _conv_s2_s2d(x, k)
+    return _conv_s2_native(x, k)
+
+
+def _s2_fwd(x, k):
+    return conv3d_s2(x, k), (x, k)
+
+
+def _s2_bwd(res, g):
+    x, k = res
+    # dx through XLA's transposed-conv identity (measured fine); dK via
+    # per-tap deep einsums on the space-to-depth view (8 taps with
+    # (8Ci, Co) output tiles instead of XLA's strided kernel-grad)
+    _, vjp_x = jax.vjp(lambda a: _conv_s2_native(a, k), x)
+    dx, = vjp_x(g)
+    x2p = jnp.pad(_space_to_depth3(x),
+                  ((0, 0), (1, 0), (1, 0), (1, 0), (0, 0)))
+    n, Do, Ho, Wo, c8 = x2p.shape
+    no, Dg, Hg, Wg, co = g.shape
+    taps = []
+    for od in range(2):
+        for oh in range(2):
+            for ow in range(2):
+                xs = lax.dynamic_slice(x2p, (0, od, oh, ow, 0),
+                                       (no, Dg, Hg, Wg, c8))
+                taps.append(jnp.einsum("ndhwc,ndhwo->co", xs, g,
+                                       preferred_element_type=jnp.float32))
+    dk2 = jnp.stack(taps).reshape(2, 2, 2, 2, 2, 2, c8 // 8, co)
+    ci = c8 // 8
+    dk = jnp.zeros((3, 3, 3, ci, co), jnp.float32)
+    for td in range(3):
+        for th in range(3):
+            for tw in range(3):
+                od, pd = (td + 1) // 2, (td + 1) % 2
+                oh, ph = (th + 1) // 2, (th + 1) % 2
+                ow, pw = (tw + 1) // 2, (tw + 1) % 2
+                dk = dk.at[td, th, tw].set(dk2[od, oh, ow, pd, ph, pw])
+    return dx, dk.astype(k.dtype)
+
+
+conv3d_s2.defvjp(_s2_fwd, _s2_bwd)
+
+
+# ---------------------------------------------------------------------------
 # k=3 stride-2 transposed conv (PSMNet/GCNet hourglass up-path)
 # ---------------------------------------------------------------------------
 

@@ -530,6 +530,26 @@ def test_conv3d_pallas_kernels_interpret(rng):
                                    rtol=1e-4, atol=1e-3)
 
 
+def test_conv3d_s2_s2d_matches_native(rng):
+    """Space-to-depth stride-2 conv (+ custom VJP) equals the native
+    strided conv and its autodiff (ops/conv3d.py conv3d_s2)."""
+    from dsmnet_tpu.ops.conv3d import _conv_s2_native, _conv_s2_s2d, conv3d_s2
+
+    x = jnp.asarray(rng.randn(2, 4, 6, 8, 8).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 8, 3).astype(np.float32) * 0.2)
+    np.testing.assert_allclose(np.asarray(_conv_s2_s2d(x, k)),
+                               np.asarray(_conv_s2_native(x, k)),
+                               rtol=1e-5, atol=1e-5)
+
+    gr = jax.grad(lambda a, b: jnp.sum(_conv_s2_native(a, b) ** 3),
+                  argnums=(0, 1))(x, k)
+    go = jax.grad(lambda a, b: jnp.sum(conv3d_s2(a, b) ** 3),
+                  argnums=(0, 1))(x, k)
+    for a, b in zip(gr, go):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-3)
+
+
 def test_conv3d_dk_ntap_matches_pertap(rng):
     """Tiny-Cout taps-on-N kernel gradient is exact (used for Co<8,
     e.g. the PSMNet classifier's 1-channel head)."""
