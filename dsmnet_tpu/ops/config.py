@@ -61,14 +61,19 @@ def conv3d_dk_mode() -> str:
 #              cover the FLOP blowup.  The custom VJP still computes dK
 #              on the s2d view in either mode (2.73 -> 2.53 ms full
 #              grad), so only the forward formulation toggles here.
-#   None     — auto: native
+#   "pallas" — folded-parity Pallas kernel pair (conv3d_s2_pallas.py):
+#              fwd 0.145 ms vs 1.3 native at the conv1 shape (custom-
+#              call time, r4 trace); dx runs through the parity-folded
+#              deconv GEMM and dK through the transpose contraction of
+#              the same patch matrix.  Per-shape native fallback.
+#   None     — auto: pallas on TPU, native elsewhere
 conv3d_s2: str | None = None
 
 
 def conv3d_s2_mode() -> str:
     if conv3d_s2 is not None:
         return conv3d_s2
-    return "native"
+    return "pallas" if jax.default_backend() == "tpu" else "native"
 
 
 def pallas_enabled(override: bool | None = None) -> bool:

@@ -305,10 +305,16 @@ def _conv_s2_native(x, k):
 @jax.custom_vjp
 def conv3d_s2(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """stride-2 SAME(p=1) 3x3x3 conv; x (N,D,H,W,Ci) with even D/H/W,
-    k (3,3,3,Ci,Co).  Space-to-depth formulation on TPU."""
+    k (3,3,3,Ci,Co).  Pallas folded-parity kernel on TPU (r4)."""
     from . import config
 
-    if config.conv3d_s2_mode() == "s2d":
+    mode = config.conv3d_s2_mode()
+    if mode == "pallas":
+        from .conv3d_s2_pallas import conv3d_s2_fwd_pallas, s2_pallas_ok
+
+        if s2_pallas_ok(x.shape, k.shape):
+            return conv3d_s2_fwd_pallas(x, k)
+    if mode == "s2d":
         return _conv_s2_s2d(x, k)
     return _conv_s2_native(x, k)
 
@@ -319,7 +325,22 @@ def _s2_fwd(x, k):
 
 def _s2_bwd(res, g):
     x, k = res
-    # dx through XLA's transposed-conv identity (measured fine); dK via
+    from . import config
+
+    if config.conv3d_s2_mode() == "pallas":
+        from .conv3d_s2_pallas import conv3d_s2_dk_pallas, s2_pallas_ok
+
+        if s2_pallas_ok(x.shape, k.shape):
+            # dx IS the k=3 s=2 transposed conv of the cotangent with the
+            # forward kernel (exact identity, tested) -> parity-folded
+            # dense GEMM instead of XLA's strided transpose lowering
+            # (0.28 vs 1.2 ms at the conv1 cotangent shape, PERF.md r4)
+            dx = _deconv_parity(g, k) if config.deconv3d_mode() == "parity" \
+                else _deconv_native(g, k)
+            dk = conv3d_s2_dk_pallas(x, g)
+            return dx, dk.astype(k.dtype)
+
+    # fallbacks: dx through XLA's transposed-conv identity; dK via
     # per-tap deep einsums on the space-to-depth view (8 taps with
     # (8Ci, Co) output tiles instead of XLA's strided kernel-grad)
     _, vjp_x = jax.vjp(lambda a: _conv_s2_native(a, k), x)

@@ -605,3 +605,59 @@ def test_psmnet_forward_invariant_to_conv3d_impl(rng):
         config.conv3d_impl, config.deconv3d_impl = old_c, old_d
     diff = np.abs(np.asarray(d_ref[0]) - np.asarray(d_new[0]))
     assert diff.max() < 0.05 and diff.mean() < 1e-3, (diff.max(), diff.mean())
+
+
+def test_conv3d_s2_pallas_kernels_interpret(rng):
+    """Folded-parity stride-2 Pallas fwd + dK match the native strided
+    conv / its kernel gradient exactly (interpret mode; real-TPU timings
+    in PERF.md r4)."""
+    from jax import lax
+
+    from dsmnet_tpu.ops.conv3d_s2_pallas import (
+        conv3d_s2_dk_pallas,
+        conv3d_s2_fwd_pallas,
+        s2_pallas_ok,
+    )
+
+    for shape, co in [((2, 4, 8, 8, 32), 8), ((1, 4, 8, 16, 32), 64),
+                      ((1, 6, 4, 8, 64), 16)]:
+        ci = shape[-1]
+        x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, 3, ci, co).astype(np.float32) * 0.1)
+        assert s2_pallas_ok(x.shape, k.shape)
+        dn = lax.conv_dimension_numbers(x.shape, k.shape,
+                                        ("NDHWC", "DHWIO", "NDHWC"))
+        ref = lax.conv_general_dilated(x, k, (2, 2, 2), [(1, 1)] * 3,
+                                       dimension_numbers=dn)
+        out = conv3d_s2_fwd_pallas(x, k, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+        g = jnp.asarray(rng.randn(*ref.shape).astype(np.float32))
+        dk_ref = jax.vjp(
+            lambda kk: lax.conv_general_dilated(
+                x, kk, (2, 2, 2), [(1, 1)] * 3, dimension_numbers=dn), k
+        )[1](g)[0]
+        dk = conv3d_s2_dk_pallas(x, g, interpret=True)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                                   rtol=1e-4, atol=1e-3)
+
+
+def test_conv3d_s2_dx_is_deconv(rng):
+    """The stride-2 conv's input gradient IS deconv3d geometry with the
+    forward kernel as-is — the identity the Pallas backward relies on
+    (ops/conv3d.py _s2_bwd r4)."""
+    from dsmnet_tpu.ops.conv3d import (
+        _conv_s2_native,
+        _deconv_native,
+        _deconv_parity,
+    )
+
+    x = jnp.asarray(rng.randn(1, 4, 6, 8, 8).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 8, 4).astype(np.float32) * 0.2)
+    g = jnp.asarray(rng.randn(1, 2, 3, 4, 4).astype(np.float32))
+    dx_ref = jax.vjp(lambda a: _conv_s2_native(a, k), x)[1](g)[0]
+    np.testing.assert_allclose(np.asarray(_deconv_native(g, k)),
+                               np.asarray(dx_ref), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(_deconv_parity(g, k)),
+                               np.asarray(dx_ref), rtol=1e-5, atol=1e-4)
