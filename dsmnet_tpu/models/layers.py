@@ -36,6 +36,7 @@ __all__ = [
     "compute_dtype",
     "default_dtype",
     "ConvBN",
+    "FoldedConvBN3d",
     "DeconvBN",
     "ResBlockGC",
     "ResBlockPSM",
@@ -196,6 +197,66 @@ class _FastDeconv3d(nn.Module):
             b = self.param("bias", self.bias_init, (self.features,))
             y = y + (b.astype(dt) if dt is not None else b)
         return y
+
+
+class _FoldedConv3d(nn.Module):
+    """Kernel-param holder for the folded-volume convs — same param
+    structure (kernel under this module) as _FastConv3d/_FastConv3dS2
+    so folded and unfolded pathways share checkpoints."""
+
+    features: int
+    C: int
+    W: int
+    stride: int
+    kernel_init: Callable
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, xf):
+        from ..ops.folded import folded_conv3d_s2, folded_conv3d_same
+
+        kshape = (3, 3, 3, self.C, self.features)
+        kern = self.param("kernel", self.kernel_init, kshape)
+        dt = self.dtype
+        if dt is not None:
+            xf = xf.astype(dt)
+            kern = kern.astype(dt)
+        if self.stride == 2:
+            return folded_conv3d_s2(xf, kern, self.C, self.W)
+        return folded_conv3d_same(xf, kern, self.C, self.W)
+
+
+class FoldedConvBN3d(nn.Module):
+    """convbn_3d on the FOLDED volume (N, D, H, W*C/128, 128) — the
+    dense-lane pathway that keeps the 3-D regularizer free of per-conv
+    pad/refold/layout traffic (ops/folded.py; r4 trace analysis).
+    Param tree matches ConvBN(dims=3, use_bias=False, bn=True) exactly:
+    {name}/Conv_0/kernel + {name}/BatchNorm_0/{scale,bias} + stats."""
+
+    features: int
+    C: int           # logical input channels
+    W: int           # logical input width
+    stride: int = 1
+    relu: bool = True
+
+    @nn.compact
+    def __call__(self, xf, train: bool = True):
+        from ..ops.folded import folded_batchnorm_view
+
+        dt = default_dtype()
+        xf = _FoldedConv3d(
+            self.features, self.C, self.W, self.stride, conv_kernel_init,
+            dt, name="Conv_0",
+        )(xf)
+        v = folded_batchnorm_view(xf, self.features)
+        v = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=dt, name="BatchNorm_0",
+        )(v)
+        xf = v.reshape(xf.shape)
+        if self.relu:
+            xf = nn.relu(xf)
+        return xf
 
 
 class ConvBN(nn.Module):

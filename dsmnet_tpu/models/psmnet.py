@@ -29,6 +29,7 @@ from ..ops.regression import trilinear_soft_argmin
 from ..parallel.context import shard_activation
 from .layers import (
     ConvBN,
+    FoldedConvBN3d,
     ResBlockPSM,
     _FastDeconv3d,
     conv_kernel_init,
@@ -85,13 +86,22 @@ class _FeatureExtraction(nn.Module):
 
 class _Hourglass(nn.Module):
     """stackhourglass.py:22-62: stride-2 down x2, deconv up x2 with
-    presqu/postsqu cross-connections."""
+    presqu/postsqu cross-connections.
+
+    With ``folded=True`` the whole stage runs on the dense-lane folded
+    volume (ops/folded.py) — identical math and parameter tree, but no
+    per-conv pad/refold/layout traffic; only the two deconvs round-trip
+    through the unfolded form (coarse scales, cheap)."""
 
     planes: int
+    folded: bool = False
+    W: int = 0  # logical input W when folded
 
     @nn.compact
     def __call__(self, x, presqu, postsqu, train: bool = True):
         p = self.planes
+        if self.folded:
+            return self._folded(x, presqu, postsqu, train)
         c = lambda f, s, relu, name: ConvBN(
             f, 3, s, dims=3, use_bias=False, bn=True, relu=relu, name=name
         )
@@ -117,6 +127,39 @@ class _Hourglass(nn.Module):
         post = up(p * 2, "conv5", out)
         post = nn.relu(crop_add(post, presqu if presqu is not None else pre))
         out = up(p, "conv6", post)
+        return out, pre, post
+
+    def _folded(self, x, presqu, postsqu, train):
+        from ..ops.folded import fold, folded_batchnorm_view, unfold
+
+        p = self.planes
+        W = self.W
+        fc = lambda f, Ci, Wl, s, relu, name: FoldedConvBN3d(
+            f, Ci, Wl, s, relu, name=name
+        )
+        out = fc(p * 2, p, W, 2, True, "conv1")(x, train)
+        pre = fc(p * 2, p * 2, W // 2, 1, False, "conv2")(out, train)
+        pre = nn.relu(pre + postsqu) if postsqu is not None else nn.relu(pre)
+
+        out = fc(p * 2, p * 2, W // 2, 2, True, "conv3")(pre, train)
+        out = fc(p * 2, p * 2, W // 4, 1, True, "conv4")(out, train)
+
+        def up(f, name, y, Ci):
+            yu = unfold(y, Ci)
+            yu = _FastDeconv3d(
+                f, use_bias=False, kernel_init=torch_fanin_uniform,
+                bias_init=torch_fanin_uniform, dtype=default_dtype(), name=name,
+            )(yu)
+            yf = fold(yu)
+            v = folded_batchnorm_view(yf, f)
+            v = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=default_dtype(),
+                             name=f"{name}_bn")(v)
+            return v.reshape(yf.shape)
+
+        post = up(p * 2, "conv5", out, p * 2)
+        post = nn.relu(post + (presqu if presqu is not None else pre))
+        out = up(p, "conv6", post, p * 2)
         return out, pre, post
 
 
@@ -149,9 +192,18 @@ class _FusedStem(nn.Module):
 class _Classifier(nn.Module):
     """stackhourglass.py:88-98: convbn3d+relu then 1-ch 3D conv."""
 
+    folded: bool = False
+    W: int = 0
+
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = ConvBN(32, 3, 1, dims=3, use_bias=False, bn=True, name="c0")(x, train)
+        if self.folded:
+            from ..ops.folded import unfold
+
+            x = FoldedConvBN3d(32, 32, self.W, 1, name="c0")(x, train)
+            x = unfold(x, 32)
+        else:
+            x = ConvBN(32, 3, 1, dims=3, use_bias=False, bn=True, name="c0")(x, train)
         x = ConvBN(1, 3, 1, dims=3, use_bias=False, bn=False, relu=False, name="c1")(x, train)
         return x
 
@@ -185,22 +237,52 @@ class PSMNet(nn.Module):
         else:
             cost = concat_cost_volume(fL, fR, D4, mask_left=True)
             cost0 = c3(32, True, "dres0_0")(cost, train)
-        cost0 = c3(32, True, "dres0_1")(cost0, train)
-        d1 = c3(32, True, "dres1_0")(cost0, train)
-        d1 = c3(32, False, "dres1_1")(d1, train)
-        cost0 = crop_add(d1, cost0)
 
-        HG = nn.remat(_Hourglass, static_argnums=(4,)) if self.remat else _Hourglass
-        out1, pre1, post1 = HG(32, name="dres2")(cost0, None, None, train)
-        out1 = crop_add(out1, cost0)
-        out2, pre2, post2 = HG(32, name="dres3")(out1, pre1, post1, train)
-        out2 = crop_add(out2, cost0)
-        out3, pre3, post3 = HG(32, name="dres4")(out2, pre1, post2, train)
-        out3 = crop_add(out3, cost0)
+        # folded-regularizer pathway (ops/folded.py): pay the fold
+        # relayout once here instead of per-conv pad/layout traffic
+        from ..ops import config as ops_config
+        from ..ops.folded import fold, foldable
 
-        cost1 = _Classifier(name="classif1")(out1, train)
-        cost2 = crop_add(_Classifier(name="classif2")(out2, train), cost1)
-        cost3 = crop_add(_Classifier(name="classif3")(out3, train), cost2)
+        H4, W4 = cost0.shape[2], cost0.shape[3]
+        use_folded = (
+            ops_config.folded_enabled()
+            and foldable(cost0.shape)
+            and D4 % 4 == 0 and H4 % 4 == 0 and W4 % 8 == 0
+        )
+
+        if use_folded:
+            ff = lambda relu, name: FoldedConvBN3d(32, 32, W4, 1, relu, name=name)
+            cf = fold(cost0)
+            cf = ff(True, "dres0_1")(cf, train)
+            d1 = ff(True, "dres1_0")(cf, train)
+            d1 = ff(False, "dres1_1")(d1, train)
+            cost0 = d1 + cf
+
+            HG = nn.remat(_Hourglass, static_argnums=(4,)) if self.remat \
+                else _Hourglass
+            hg = lambda name: HG(32, folded=True, W=W4, name=name)
+        else:
+            cost0 = c3(32, True, "dres0_1")(cost0, train)
+            d1 = c3(32, True, "dres1_0")(cost0, train)
+            d1 = c3(32, False, "dres1_1")(d1, train)
+            cost0 = crop_add(d1, cost0)
+
+            HG = nn.remat(_Hourglass, static_argnums=(4,)) if self.remat \
+                else _Hourglass
+            hg = lambda name: HG(32, name=name)
+
+        add = (lambda a, b: a + b) if use_folded else crop_add
+        out1, pre1, post1 = hg("dres2")(cost0, None, None, train)
+        out1 = add(out1, cost0)
+        out2, pre2, post2 = hg("dres3")(out1, pre1, post1, train)
+        out2 = add(out2, cost0)
+        out3, pre3, post3 = hg("dres4")(out2, pre1, post2, train)
+        out3 = add(out3, cost0)
+
+        cls = lambda name: _Classifier(folded=use_folded, W=W4, name=name)
+        cost1 = cls("classif1")(out1, train)
+        cost2 = crop_add(cls("classif2")(out2, train), cost1)
+        cost3 = crop_add(cls("classif3")(out3, train), cost2)
 
         h, w = imL.shape[1], imL.shape[2]
         full = (self.maxdisparity, h, w)

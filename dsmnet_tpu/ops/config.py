@@ -76,6 +76,18 @@ def conv3d_s2_mode() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "native"
 
 
+# Folded-volume regularizer pathway (ops/folded.py): keep the 3-D
+# cost volume in the dense-lane (N,D,H,W*C/128,128) form between convs.
+#   True/False — force; None — auto: on for TPU backends.
+folded_regularizer: bool | None = None
+
+
+def folded_enabled() -> bool:
+    if folded_regularizer is not None:
+        return folded_regularizer
+    return jax.default_backend() == "tpu"
+
+
 def pallas_enabled(override: bool | None = None) -> bool:
     if override is not None:
         return override

@@ -94,10 +94,15 @@ def _conv_kwfold(x, k):
     )
 
 
-def _pallas_ok(ci: int, W: int, H: int) -> bool:
+def _pallas_ok(ci: int, W: int, H: int, itemsize: int = 2) -> bool:
     """Shape gate for the folded-lane Pallas kernels (conv3d_pallas.py):
-    channels must divide 128 and W must fold into dense 128-lane rows."""
-    return ci >= 8 and 128 % ci == 0 and W % (128 // ci) == 0 and H % 8 == 0
+    channels must divide 128, W must fold into dense 128-lane rows, and
+    the folded width W/r must be DMA-tile-aligned (8 sublanes f32, 16
+    bf16 — Mosaic rejects unaligned second-minor slab slices)."""
+    if not (ci >= 8 and 128 % ci == 0 and W % (128 // ci) == 0 and H % 8 == 0):
+        return False
+    del itemsize  # sublane tile is 8 for f32 AND bf16 (packed (2,1))
+    return (W * ci // 128) % 8 == 0
 
 
 def _conv_tapfold(x, k):
@@ -135,7 +140,7 @@ def _conv_fast(x, k):
         mode == "pallas"
         and k.shape[:3] == (3, 3, 3)
         and k.shape[-1] >= 8
-        and _pallas_ok(x.shape[-1], x.shape[3], x.shape[2])
+        and _pallas_ok(x.shape[-1], x.shape[3], x.shape[2], x.dtype.itemsize)
     ):
         from .conv3d_pallas import conv3d_fwd_pallas
 
@@ -242,7 +247,7 @@ def _bwd(res, g):
     elif (
         dk_mode == "pallas"
         and (kd, kh, kw) == (3, 3, 3)
-        and _pallas_ok(ci, x.shape[3], x.shape[2])
+        and _pallas_ok(ci, x.shape[3], x.shape[2], x.dtype.itemsize)
     ):
         from .conv3d_pallas import conv3d_dk_pallas
 
@@ -312,7 +317,7 @@ def conv3d_s2(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     if mode == "pallas":
         from .conv3d_s2_pallas import conv3d_s2_fwd_pallas, s2_pallas_ok
 
-        if s2_pallas_ok(x.shape, k.shape):
+        if s2_pallas_ok(x.shape, k.shape, x.dtype.itemsize):
             return conv3d_s2_fwd_pallas(x, k)
     if mode == "s2d":
         return _conv_s2_s2d(x, k)
@@ -330,7 +335,7 @@ def _s2_bwd(res, g):
     if config.conv3d_s2_mode() == "pallas":
         from .conv3d_s2_pallas import conv3d_s2_dk_pallas, s2_pallas_ok
 
-        if s2_pallas_ok(x.shape, k.shape):
+        if s2_pallas_ok(x.shape, k.shape, x.dtype.itemsize):
             # dx IS the k=3 s=2 transposed conv of the cotangent with the
             # forward kernel (exact identity, tested) -> parity-folded
             # dense GEMM instead of XLA's strided transpose lowering

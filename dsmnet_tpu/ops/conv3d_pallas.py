@@ -138,26 +138,27 @@ def _fwd_kernel(xp_ref, km_ref, out_ref, ring, sems, *, ht, UF, r, C, Co, D):
     out_ref[0, 0] = acc.astype(out_ref.dtype).reshape(ht, UF, r * Co)
 
 
-@functools.partial(jax.jit, static_argnames=("ht", "interpret"))
-def conv3d_fwd_pallas(x, k, ht: int | None = None, interpret: bool = False):
-    """stride-1 SAME 3x3x3 conv; x (N,D,H,W,C), k (3,3,3,C,Co).
-
-    Requires 128 % C == 0 and W % (128//C) == 0 (PSMNet/GCNet volume
-    shapes satisfy both).  1.5-1.9x faster than the native lax conv at
-    hourglass shapes on v5e (PERF.md round 3)."""
-    n, D, H, W, C = x.shape
+def conv3d_fwd_pallas_padded(xp, k, W: int, ht: int | None = None,
+                             interpret: bool = False):
+    """Folded-core stride-1 conv: xp is the already D/H-padded FOLDED
+    view (N, D+2, H+2, W/r, 128) with r = 128//C; returns the folded
+    output (N, D, H, W/r, r*Co).  Padding/folding on dense-lane arrays
+    is what callers on the folded pathway provide for free — the
+    unfolded wrapper's jnp.pad of a (..., W, C<128) array materializes
+    a 128-lane-padded HBM buffer (4x for C=32; ~0.7 ms at the b1
+    volume, r4 trace)."""
+    n, Dp, Hp, UF, L = xp.shape
+    D, H = Dp - 2, Hp - 2
+    C = k.shape[3]
     Co = k.shape[-1]
     assert k.shape[:3] == (3, 3, 3)
     r = _fold(C)
-    assert W % r == 0 and r * C == 128, (W, C)
-    UF = W // r
+    assert r * C == 128 == L and UF * r == W, (xp.shape, k.shape, W)
     if ht is None:
-        ht = _pick_ht(H, UF, C, Co, r, x.dtype.itemsize)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
-    xp = xp.reshape(n, D + 2, H + 2, UF, r * C)
-    km = k.transpose(0, 1, 3, 2, 4).reshape(9 * C, 3 * Co).astype(x.dtype)
+        ht = _pick_ht(H, UF, C, Co, r, xp.dtype.itemsize)
+    km = k.transpose(0, 1, 3, 2, 4).reshape(9 * C, 3 * Co).astype(xp.dtype)
     grid = (n, H // ht, D)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_fwd_kernel, ht=ht, UF=UF, r=r, C=C, Co=Co, D=D),
         grid=grid,
         in_specs=[
@@ -168,18 +169,35 @@ def conv3d_fwd_pallas(x, k, ht: int | None = None, interpret: bool = False):
             (1, 1, ht, UF, r * Co), lambda n, j, d: (n, d, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, D, H, UF, r * Co), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, D, H, UF, r * Co), xp.dtype),
         scratch_shapes=[
-            pltpu.VMEM((4, ht + 2, UF, r * C), x.dtype),
+            pltpu.VMEM((4, ht + 2, UF, r * C), xp.dtype),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 27 * C * Co * n * D * H * W,
-            bytes_accessed=(n * D * H * W * (C + Co)) * x.dtype.itemsize,
+            bytes_accessed=(n * D * H * W * (C + Co)) * xp.dtype.itemsize,
             transcendentals=0,
         ),
     )(xp, km)
+
+
+@functools.partial(jax.jit, static_argnames=("ht", "interpret"))
+def conv3d_fwd_pallas(x, k, ht: int | None = None, interpret: bool = False):
+    """stride-1 SAME 3x3x3 conv; x (N,D,H,W,C), k (3,3,3,C,Co).
+
+    Requires 128 % C == 0 and W % (128//C) == 0 (PSMNet/GCNet volume
+    shapes satisfy both).  1.5-1.9x faster than the native lax conv at
+    hourglass shapes on v5e (PERF.md round 3)."""
+    n, D, H, W, C = x.shape
+    Co = k.shape[-1]
+    r = _fold(C)
+    assert W % r == 0 and r * C == 128, (W, C)
+    UF = W // r
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    xp = xp.reshape(n, D + 2, H + 2, UF, r * C)
+    out = conv3d_fwd_pallas_padded(xp, k, W, ht=ht, interpret=interpret)
     return out.reshape(n, D, H, W, Co)
 
 
@@ -243,28 +261,32 @@ def _dk_kernel(xp_ref, ge_ref, dk_ref, ring, gslab, sems, gsem,
     dk_ref[:] += acc
 
 
-@functools.partial(jax.jit, static_argnames=("ht", "interpret"))
-def conv3d_dk_pallas(x, g, ht: int | None = None, interpret: bool = False):
-    """Kernel gradient of the stride-1 SAME 3x3x3 conv.
+def _slotted_from_folded(gf, r, Co, UF):
+    """Slotted cotangent from the FOLDED g (n,D,H,UF,r*Co): slot s of
+    column u holds g at w = u*r + s - 1.  Interior slots are plain lane
+    blocks; the two edge slots are the neighbour columns' extreme
+    blocks (dense-lane shifts — no strided gathers)."""
+    lo = gf[..., (r - 1) * Co: r * Co]
+    hi = gf[..., 0:Co]
+    prev = jnp.pad(lo, ((0, 0),) * 3 + ((1, 0), (0, 0)))[:, :, :, :UF]
+    nxt = jnp.pad(hi, ((0, 0),) * 3 + ((0, 1), (0, 0)))[:, :, :, 1:]
+    return jnp.concatenate([prev, gf, nxt], axis=-1)  # (.., UF, (r+2)Co)
 
-    x (N,D,H,W,C) input, g (N,D,H,W,Co) cotangent -> (3,3,3,C,Co) f32.
-    Same shape constraints as conv3d_fwd_pallas."""
-    n, D, H, W, C = x.shape
-    Co = g.shape[-1]
+
+def conv3d_dk_pallas_padded(xp, gf, k_shape, W: int, ht: int | None = None,
+                            interpret: bool = False):
+    """Folded-core kernel gradient: xp (N,D+2,H+2,W/r,128) padded folded
+    input, gf (N,D,H,W/r,r*Co) folded cotangent -> (3,3,3,C,Co) f32."""
+    n, Dp, Hp, UF, L = xp.shape
+    D, H = Dp - 2, Hp - 2
+    C, Co = k_shape[3], k_shape[4]
     r = _fold(C)
-    assert W % r == 0 and r * C == 128, (W, C)
-    UF = W // r
+    assert r * C == 128 == L and UF * r == W, (xp.shape, k_shape, W)
+    assert gf.shape == (n, D, H, UF, r * Co), (gf.shape, (n, D, H, UF, r * Co))
     if ht is None:
-        ht = _pick_ht(H, UF, C, Co, r, x.dtype.itemsize,
+        ht = _pick_ht(H, UF, C, Co, r, xp.dtype.itemsize,
                       gl=(r + 2) * Co + (-((r + 2) * Co) % 128))
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
-    xp = xp.reshape(n, D + 2, H + 2, UF, r * C)
-    # slotted cotangent: slot s holds g at w = u*r + s - 1; lane count
-    # padded up to a 128 multiple (HBM tiling rejects partial-tile DMAs)
-    gp = jnp.pad(g, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
-    ge = jnp.concatenate(
-        [gp[:, :, :, s:s + UF * r:r, :] for s in range(r + 2)], axis=-1
-    )  # (n, D, H, UF, (r+2)Co)
+    ge = _slotted_from_folded(gf, r, Co, UF)
     slots = (r + 2) * Co
     slots_pad = -slots % 128
     if slots_pad:
@@ -282,18 +304,36 @@ def conv3d_dk_pallas(x, g, ht: int | None = None, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((9 * C, 3 * Co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((4, ht + 2, UF, r * C), x.dtype),
-            pltpu.VMEM((ht, UF, GL), g.dtype),
+            pltpu.VMEM((4, ht + 2, UF, r * C), xp.dtype),
+            pltpu.VMEM((ht, UF, GL), gf.dtype),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 27 * C * Co * n * D * H * W,
-            bytes_accessed=(n * D * H * W * (C + Co)) * x.dtype.itemsize,
+            bytes_accessed=(n * D * H * W * (C + Co)) * xp.dtype.itemsize,
             transcendentals=0,
         ),
     )(xp, ge)
     # rows are (kd, kh, C); lanes are (dw reversed, Co)
     dk = out.reshape(3, 3, C, 3, Co)[:, :, :, ::-1, :]
     return jnp.transpose(dk, (0, 1, 3, 2, 4))
+
+
+@functools.partial(jax.jit, static_argnames=("ht", "interpret"))
+def conv3d_dk_pallas(x, g, ht: int | None = None, interpret: bool = False):
+    """Kernel gradient of the stride-1 SAME 3x3x3 conv.
+
+    x (N,D,H,W,C) input, g (N,D,H,W,Co) cotangent -> (3,3,3,C,Co) f32.
+    Same shape constraints as conv3d_fwd_pallas."""
+    n, D, H, W, C = x.shape
+    Co = g.shape[-1]
+    r = _fold(C)
+    assert W % r == 0 and r * C == 128, (W, C)
+    UF = W // r
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    xp = xp.reshape(n, D + 2, H + 2, UF, r * C)
+    gf = g.reshape(n, D, H, UF, r * Co)
+    return conv3d_dk_pallas_padded(xp, gf, (3, 3, 3, C, Co), W, ht=ht,
+                                   interpret=interpret)

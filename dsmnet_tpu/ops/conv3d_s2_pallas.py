@@ -49,11 +49,21 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["conv3d_s2_fwd_pallas", "conv3d_s2_dk_pallas", "s2_pallas_ok"]
 
 
-def s2_pallas_ok(x_shape, k_shape) -> bool:
+def s2_pallas_ok(x_shape, k_shape, itemsize: int = 2,
+                 check_tiling: bool = True) -> bool:
     n, D, H, W, C = x_shape
     if k_shape[:3] != (3, 3, 3):
         return False
     Co = k_shape[-1]
+    # the slab DMA's second-minor extent W/4 must be tile-aligned
+    # (Mosaic: "Slice shape along dimension 5 must be aligned to tiling");
+    # the sublane tile is 8 for both f32 and bf16 (bf16 packs (2,1)
+    # inside T(8,128) — conv3's UF=24 bf16 compiles, GCNet's UF=12 does
+    # not, either dtype).  check_tiling=False skips this (interpret mode
+    # has no DMA tiling).
+    del itemsize
+    if check_tiling and (W // 4) % 8 != 0:
+        return False
     return (
         D % 2 == 0 and H % 2 == 0 and W % 4 == 0
         and C % 32 == 0 and C <= 128 and Co % 8 == 0 and Co <= 128
@@ -195,21 +205,23 @@ def _parity_view(x):
     return xp.reshape(n, (D + 2) // 2, 2, (H + 2) // 2, 2, W // 4, 4 * C)
 
 
-@functools.partial(jax.jit, static_argnames=("hto", "interpret"))
-def conv3d_s2_fwd_pallas(x, k, hto: int | None = None,
-                         interpret: bool = False):
-    """stride-2 SAME(p=1) 3x3x3 conv; x (N,D,H,W,C) -> (N,D/2,H/2,W/2,Co)."""
-    n, D, H, W, C = x.shape
-    Co = k.shape[-1]
-    assert s2_pallas_ok(x.shape, k.shape), (x.shape, k.shape)
+def conv3d_s2_fwd_pallas_padded(xp, k, W: int, hto: int | None = None,
+                                interpret: bool = False):
+    """Folded-core stride-2 conv: xp is the D/H-padded FOLDED input
+    (N, D+2, H+2, W*C/128, 128); returns folded (N, D/2, H/2, W/4, 2Co).
+    The parity regroup from the canonical folded form is a free
+    row-major reshape."""
+    n, Dp, Hp, _, _ = xp.shape
+    D, H = Dp - 2, Hp - 2
+    C, Co = k.shape[3], k.shape[4]
     F = 4 * C
     UF = W // 4
     D2, H2 = D // 2, H // 2
     if hto is None:
-        hto = _pick_hto(H2, UF, F, C, Co, x.dtype.itemsize)
-    xq = _parity_view(x)
-    km = _fwd_kernel_matrix(k, F).astype(x.dtype)
-    out = pl.pallas_call(
+        hto = _pick_hto(H2, UF, F, C, Co, xp.dtype.itemsize)
+    xq = xp.reshape(n, (D + 2) // 2, 2, (H + 2) // 2, 2, UF, F)
+    km = _fwd_kernel_matrix(k, F).astype(xp.dtype)
+    return pl.pallas_call(
         functools.partial(_fwd_kernel, hto=hto, UF=UF, F=F, C=C, Co=Co, D2=D2),
         grid=(n, H2 // hto, D2),
         in_specs=[
@@ -220,10 +232,10 @@ def conv3d_s2_fwd_pallas(x, k, hto: int | None = None,
             (1, 1, hto, UF, 2 * Co), lambda n, j, d: (n, d, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, D2, H2, UF, 2 * Co), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, D2, H2, UF, 2 * Co), xp.dtype),
         scratch_shapes=[
-            pltpu.VMEM((4, hto + 1, 2, UF, F), x.dtype),
-            pltpu.VMEM((2, hto + 1, 2, UF, F), x.dtype),
+            pltpu.VMEM((4, hto + 1, 2, UF, F), xp.dtype),
+            pltpu.VMEM((2, hto + 1, 2, UF, F), xp.dtype),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -231,11 +243,24 @@ def conv3d_s2_fwd_pallas(x, k, hto: int | None = None,
         cost_estimate=pl.CostEstimate(
             flops=2 * 45 * C * 2 * Co * n * D2 * H2 * UF,
             bytes_accessed=(n * D * H * W * C
-                            + n * D2 * H2 * UF * 2 * Co) * x.dtype.itemsize,
+                            + n * D2 * H2 * UF * 2 * Co) * xp.dtype.itemsize,
             transcendentals=0,
         ),
     )(xq, km)
-    return out.reshape(n, D2, H2, W // 2, Co)
+
+
+@functools.partial(jax.jit, static_argnames=("hto", "interpret"))
+def conv3d_s2_fwd_pallas(x, k, hto: int | None = None,
+                         interpret: bool = False):
+    """stride-2 SAME(p=1) 3x3x3 conv; x (N,D,H,W,C) -> (N,D/2,H/2,W/2,Co)."""
+    n, D, H, W, C = x.shape
+    Co = k.shape[-1]
+    assert s2_pallas_ok(x.shape, k.shape, x.dtype.itemsize,
+                        check_tiling=not interpret), (x.shape, k.shape)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    xp = xp.reshape(n, D + 2, H + 2, W * C // 128, 128)
+    out = conv3d_s2_fwd_pallas_padded(xp, k, W, hto=hto, interpret=interpret)
+    return out.reshape(n, D // 2, H // 2, W // 2, Co)
 
 
 def _dk_kernel(xq_ref, gf_ref, dk_ref, ring_e, ring_o, gslab,
@@ -318,23 +343,24 @@ def _dk_kernel(xq_ref, gf_ref, dk_ref, ring_e, ring_o, gslab,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("hto", "interpret"))
-def conv3d_s2_dk_pallas(x, g, hto: int | None = None,
-                        interpret: bool = False):
-    """Kernel gradient of the stride-2 conv: x (N,D,H,W,C),
-    g (N,D/2,H/2,W/2,Co) -> (3,3,3,C,Co) f32."""
-    n, D, H, W, C = x.shape
-    Co = g.shape[-1]
-    assert s2_pallas_ok(x.shape, (3, 3, 3, C, Co)), (x.shape, g.shape)
+def conv3d_s2_dk_pallas_padded(xp, gf, k_shape, W: int,
+                               hto: int | None = None,
+                               interpret: bool = False):
+    """Folded-core stride-2 kernel gradient: xp (N,D+2,H+2,W*C/128,128)
+    padded folded input, gf (N,D/2,H/2,W/4,2Co) folded cotangent ->
+    (3,3,3,C,Co) f32."""
+    n, Dp, Hp, _, _ = xp.shape
+    D, H = Dp - 2, Hp - 2
+    C, Co = k_shape[3], k_shape[4]
     F = 4 * C
     UF = W // 4
     D2, H2 = D // 2, H // 2
     KT = 9 * F + 9 * C
     if hto is None:
-        hto = _pick_hto(H2, UF, F, C, Co, x.dtype.itemsize,
+        hto = _pick_hto(H2, UF, F, C, Co, xp.dtype.itemsize,
                         extra_lanes=2 * Co)
-    xq = _parity_view(x)
-    gf = g.reshape(n, D2, H2, UF, 2 * Co)
+    xq = xp.reshape(n, (D + 2) // 2, 2, (H + 2) // 2, 2, UF, F)
+    assert gf.shape == (n, D2, H2, UF, 2 * Co), gf.shape
     block = pl.pallas_call(
         functools.partial(_dk_kernel, hto=hto, UF=UF, F=F, C=C, Co=Co, D2=D2),
         grid=(n, H2 // hto, D2),
@@ -346,9 +372,9 @@ def conv3d_s2_dk_pallas(x, g, hto: int | None = None,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((KT, 2 * Co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((4, hto + 1, 2, UF, F), x.dtype),
-            pltpu.VMEM((2, hto + 1, 2, UF, F), x.dtype),
-            pltpu.VMEM((hto, UF, 2 * Co), g.dtype),
+            pltpu.VMEM((4, hto + 1, 2, UF, F), xp.dtype),
+            pltpu.VMEM((2, hto + 1, 2, UF, F), xp.dtype),
+            pltpu.VMEM((hto, UF, 2 * Co), gf.dtype),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -357,7 +383,7 @@ def conv3d_s2_dk_pallas(x, g, hto: int | None = None,
         cost_estimate=pl.CostEstimate(
             flops=2 * 45 * C * 2 * Co * n * D2 * H2 * UF,
             bytes_accessed=(n * D * H * W * C
-                            + n * D2 * H2 * UF * 2 * Co) * x.dtype.itemsize,
+                            + n * D2 * H2 * UF * 2 * Co) * xp.dtype.itemsize,
             transcendentals=0,
         ),
     )(xq, gf)
@@ -375,3 +401,19 @@ def conv3d_s2_dk_pallas(x, g, hto: int | None = None,
             acc = acc + side[:, :, :, 0, :]
         taps.append(acc)
     return jnp.stack(taps, axis=2)  # (3, 3, 3, C, Co)
+
+
+@functools.partial(jax.jit, static_argnames=("hto", "interpret"))
+def conv3d_s2_dk_pallas(x, g, hto: int | None = None,
+                        interpret: bool = False):
+    """Kernel gradient of the stride-2 conv: x (N,D,H,W,C),
+    g (N,D/2,H/2,W/2,Co) -> (3,3,3,C,Co) f32."""
+    n, D, H, W, C = x.shape
+    Co = g.shape[-1]
+    assert s2_pallas_ok(x.shape, (3, 3, 3, C, Co), x.dtype.itemsize,
+                        check_tiling=not interpret), (x.shape, g.shape)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    xp = xp.reshape(n, D + 2, H + 2, W * C // 128, 128)
+    gf = g.reshape(n, D // 2, H // 2, W // 4, 2 * Co)
+    return conv3d_s2_dk_pallas_padded(xp, gf, (3, 3, 3, C, Co), W, hto=hto,
+                                      interpret=interpret)

@@ -155,11 +155,15 @@ def corr1d(
 ) -> jnp.ndarray:
     """1-D horizontal correlation, (N,H,W,C) x2 -> (N,H,W,D).
 
-    Default implementation is the jnp shift formulation: measured at model
-    level on TPU v5e it outruns the current Pallas kernel (XLA fuses the
-    D static-shift multiplies into one pass; dispnetcorr fwd 375x1242:
-    3.7 ms vs 6.5 ms).  The Pallas kernel remains opt-in via
-    ``use_pallas=True`` / ``ops.config.use_pallas``.
+    Default implementation is the jnp shift formulation: re-measured at
+    model level on TPU v5e in r4 (scripts/bench_defaults.py) it outruns
+    the Pallas kernel in every config — DispNetC fwd 375x1242 f32
+    3.40 vs 4.77 ms / bf16 3.24 vs 4.28; iResNet f32 51.0 vs 53.7 /
+    bf16 37.5 vs 39.4 — even though the Pallas kernel wins standalone
+    (0.274 vs 0.363 ms): XLA fuses the D static-shift multiplies with
+    neighbouring ops, which the custom-call boundary forfeits.  The
+    Pallas kernel remains opt-in via ``use_pallas=True`` /
+    ``ops.config.use_pallas``.
     """
     from . import config
 

@@ -143,14 +143,22 @@ def concat_cost_volume(
     conv stack that consumes it (the "context parallelism" axis of this
     domain, SURVEY §5)."""
     from ..parallel.context import shard_cost_volume
-    from .config import pallas_enabled
+    from . import config
 
+    if use_pallas is None:
+        # default jnp: XLA's fused pad+concat assembly is 7x faster
+        # than the Pallas volume kernel standalone (0.325 vs 2.34 ms at
+        # the PSMNet D=48 shape, PERF.md op table — r3 shipped the
+        # Pallas path as the f32 default against its own measurement;
+        # r4 fixes the default to the measured winner).  Opt in via
+        # use_pallas=True / ops.config.use_pallas for benchmarking.
+        use_pallas = config.use_pallas if config.use_pallas is not None else False
     if fL.dtype == jnp.bfloat16:
         # the kernel's dynamic sublane slice needs 16-row alignment for
         # bf16 tiles, which the per-d offset cannot guarantee — Mosaic
         # rejects it; XLA's pad+concat handles bf16 fine
         use_pallas = False
-    if pallas_enabled(use_pallas):
+    if use_pallas:
         vol = _cost_volume_pallas(fL, fR, D, mask_left, interpret)
     else:
         vol = concat_cost_volume_reference(fL, fR, D, mask_left)

@@ -1,0 +1,210 @@
+"""Folded dense-lane volume pathway for the 3-D regularizer.
+
+On TPU, HBM arrays are tiled (sublane, 128-lane) on their two minor
+dims, so any (..., W, C<128) cost-volume tensor is physically
+lane-padded 128/C-fold, and every op boundary that materializes one
+pays the padding in bandwidth.  The r4 b4 trace showed ~150 ms/step of
+pads, refolds and layout copies around the regularizer's convs.
+
+The fix: keep the volume in the *canonical folded form*
+
+    (N, D, H, W*C/128, 128)
+
+between ops.  All folded factorizations are free row-major reshapes of
+each other — (W/r, r*C) for the stride-1 kernels, (W/4, 4C) for the
+stride-2 parity kernels, (UF, r, C) for per-channel BatchNorm — so the
+fold relayout is paid ONCE after the cost-volume stem and once at each
+unfolded consumer (classifier head, deconv), not per conv.
+
+``folded_conv3d_same`` / ``folded_conv3d_s2`` are custom-VJP convs on
+the folded form, routing to the Pallas folded cores on TPU and to an
+unfold->lax->fold composition elsewhere (CPU tests run the same API).
+Reference semantics: stackhourglass.py:73-149 (the 3-D regularizer).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "foldable",
+    "fold",
+    "unfold",
+    "folded_conv3d_same",
+    "folded_conv3d_s2",
+    "folded_batchnorm_view",
+]
+
+
+def foldable(shape) -> bool:
+    """Whether a logical (N, D, H, W, C) volume fits the folded form."""
+    n, D, H, W, C = shape
+    return (W * C) % 128 == 0 and C <= 128 and 128 % C == 0
+
+
+def fold(x):
+    """(N, D, H, W, C) -> (N, D, H, W*C/128, 128).  One relayout pass
+    (lane compaction); cheap on dense inputs, and the only place the
+    128/C padding of the unfolded form is ever touched."""
+    n, D, H, W, C = x.shape
+    return x.reshape(n, D, H, W * C // 128, 128)
+
+def unfold(xf, C: int):
+    """Inverse of fold for logical channel count C."""
+    n, D, H, UF, L = xf.shape
+    return xf.reshape(n, D, H, UF * 128 // C, C)
+
+
+def folded_batchnorm_view(xf, C: int):
+    """Free view (N, D, H, UF, r, C) whose last axis is the logical
+    channel — hand to BatchNorm so statistics pool per channel, not per
+    folded lane."""
+    n, D, H, UF, L = xf.shape
+    return xf.reshape(n, D, H, UF, L // C, C)
+
+
+def _s1_pallas_ok(C, Co, W, itemsize=2):
+    if 128 % C or 128 % Co or C < 8 or Co < 8:
+        return False
+    if W % (128 // C) or W % (128 // Co):
+        return False
+    del itemsize  # sublane tile is 8 for f32 AND bf16 (packed (2,1))
+    return (W * C // 128) % 8 == 0 and (W * Co // 128) % 8 == 0
+
+
+def _use_pallas():
+    from . import config
+
+    return config.conv3d_mode() == "pallas"
+
+
+def _pad_dh(xf):
+    return jnp.pad(xf, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+
+
+def _conv_ref(x, k, strides):
+    dn = lax.conv_dimension_numbers(x.shape, k.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    return lax.conv_general_dilated(x, k, strides, [(1, 1)] * 3,
+                                    dimension_numbers=dn)
+
+
+# ------------------------------------------------------------- stride 1
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def folded_conv3d_same(xf, k, C: int, W: int):
+    """stride-1 SAME 3x3x3 conv on the folded volume.
+
+    xf (N, D, H, W*C/128, 128), k (3,3,3,C,Co) with 128 % Co == 0;
+    returns (N, D, H, W*Co/128, 128)."""
+    n, D, H, UF, L = xf.shape
+    Co = k.shape[-1]
+    if _use_pallas() and _s1_pallas_ok(C, Co, W, xf.dtype.itemsize):
+        from .conv3d_pallas import conv3d_fwd_pallas_padded
+
+        r = 128 // C
+        xp = _pad_dh(xf).reshape(n, D + 2, H + 2, W // r, 128)
+        out = conv3d_fwd_pallas_padded(xp, k, W)
+        return out.reshape(n, D, H, W * Co // 128, 128)
+    y = _conv_ref(unfold(xf, C), k, (1, 1, 1))
+    return fold(y)
+
+
+def _s1_fwd(xf, k, C, W):
+    return folded_conv3d_same(xf, k, C, W), (xf, k)
+
+
+def _s1_bwd(C, W, res, g):
+    xf, k = res
+    n, D, H, _, _ = xf.shape
+    Co = k.shape[-1]
+    if _use_pallas() and _s1_pallas_ok(C, Co, W, xf.dtype.itemsize):
+        from .conv3d_pallas import conv3d_dk_pallas_padded, conv3d_fwd_pallas_padded
+
+        # dx: stride-1 conv of the cotangent with the flipped,
+        # channel-swapped kernel — same folded kernel, roles swapped
+        k_t = jnp.flip(k, axis=(0, 1, 2)).swapaxes(3, 4)
+        rg = 128 // Co
+        gp = _pad_dh(g).reshape(n, D + 2, H + 2, W // rg, 128)
+        dx = conv3d_fwd_pallas_padded(gp, k_t, W)
+        dx = dx.reshape(n, D, H, W * C // 128, 128)
+        r = 128 // C
+        xp = _pad_dh(xf).reshape(n, D + 2, H + 2, W // r, 128)
+        gf = g.reshape(n, D, H, W // r, r * Co)
+        dk = conv3d_dk_pallas_padded(xp, gf, k.shape, W)
+        return dx, dk.astype(k.dtype)
+    _, vjp = jax.vjp(
+        lambda a, b: fold(_conv_ref(unfold(a, C), b, (1, 1, 1))), xf, k
+    )
+    return vjp(g)
+
+
+folded_conv3d_same.defvjp(_s1_fwd, _s1_bwd)
+
+
+# ------------------------------------------------------------- stride 2
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def folded_conv3d_s2(xf, k, C: int, W: int):
+    """stride-2 SAME(p=1) 3x3x3 conv on the folded volume.
+
+    xf (N, D, H, W*C/128, 128), k (3,3,3,C,Co); returns the folded
+    (N, D/2, H/2, W*Co/256, 128)."""
+    from .conv3d_s2_pallas import s2_pallas_ok
+
+    n, D, H, _, _ = xf.shape
+    Co = k.shape[-1]
+    if _use_s2_pallas() and s2_pallas_ok((n, D, H, W, C), k.shape, xf.dtype.itemsize) \
+            and (W // 2 * Co) % 128 == 0:
+        from .conv3d_s2_pallas import conv3d_s2_fwd_pallas_padded
+
+        xp = _pad_dh(xf)
+        out = conv3d_s2_fwd_pallas_padded(xp, k, W)  # (n,D/2,H/2,W/4,2Co)
+        return out.reshape(n, D // 2, H // 2, W // 2 * Co // 128, 128)
+    y = _conv_ref(unfold(xf, C), k, (2, 2, 2))
+    return fold(y)
+
+
+def _use_s2_pallas():
+    from . import config
+
+    return config.conv3d_s2_mode() == "pallas"
+
+
+def _s2f_fwd(xf, k, C, W):
+    return folded_conv3d_s2(xf, k, C, W), (xf, k)
+
+
+def _s2f_bwd(C, W, res, g):
+    from .conv3d_s2_pallas import s2_pallas_ok
+
+    xf, k = res
+    n, D, H, _, _ = xf.shape
+    Co = k.shape[-1]
+    if _use_s2_pallas() and s2_pallas_ok((n, D, H, W, C), k.shape, xf.dtype.itemsize) \
+            and (W // 2 * Co) % 128 == 0:
+        from . import config
+        from .conv3d import _deconv_native, _deconv_parity
+        from .conv3d_s2_pallas import conv3d_s2_dk_pallas_padded
+
+        # dx IS the k3/s2 transposed conv of the cotangent with the
+        # forward kernel (exact identity, tests/test_ops.py); runs
+        # unfolded through the parity-folded deconv GEMM for now
+        gu = unfold(g, Co)
+        dxu = _deconv_parity(gu, k) if config.deconv3d_mode() == "parity" \
+            else _deconv_native(gu, k)
+        dx = fold(dxu)
+        xp = _pad_dh(xf)
+        gf = g.reshape(n, D // 2, H // 2, W // 4, 2 * Co)
+        dk = conv3d_s2_dk_pallas_padded(xp, gf, k.shape, W)
+        return dx, dk.astype(k.dtype)
+    _, vjp = jax.vjp(
+        lambda a, b: fold(_conv_ref(unfold(a, C), b, (2, 2, 2))), xf, k
+    )
+    return vjp(g)
+
+
+folded_conv3d_s2.defvjp(_s2f_fwd, _s2f_bwd)

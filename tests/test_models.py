@@ -136,3 +136,34 @@ def test_gcnet_lr_bidirectional():
     oL, oR = model.apply(variables, imL, imR, train=False)
     assert oL.shape == (1, 32, 64, 1) and oR.shape == (1, 32, 64, 1)
     assert np.all(np.isfinite(np.asarray(oL)))
+
+
+def test_psmnet_folded_regularizer_equivalent(rng):
+    """The folded dense-lane regularizer pathway (ops/folded.py) must
+    be a pure re-layout: same param tree, same outputs as the unfolded
+    path (on CPU both route to the same lax convs through
+    unfold->conv->fold, so agreement is exact up to association)."""
+    import jax
+
+    from dsmnet_tpu.models import create_model
+    from dsmnet_tpu.ops import config
+
+    model = create_model("psmnet", maxdisparity=16)
+    imL = jnp.asarray(rng.rand(1, 32, 64, 3).astype(np.float32))
+    imR = jnp.asarray(rng.rand(1, 32, 64, 3).astype(np.float32))
+
+    old = config.folded_regularizer
+    try:
+        config.folded_regularizer = False
+        v0 = model.init(jax.random.PRNGKey(0), imL, imR, train=False)
+        out0 = model.apply(v0, imL, imR, train=False)[1]
+        config.folded_regularizer = True
+        v1 = model.init(jax.random.PRNGKey(0), imL, imR, train=False)
+        assert jax.tree.map(lambda a: a.shape, v0) == \
+            jax.tree.map(lambda a: a.shape, v1), "param tree changed"
+        out1 = model.apply(v0, imL, imR, train=False)[1]
+    finally:
+        config.folded_regularizer = old
+    for i, (a, b) in enumerate(zip(out0, out1)):
+        err = float(jnp.max(jnp.abs(a - b)))
+        assert err < 1e-3, (i, err)

@@ -619,12 +619,18 @@ def test_conv3d_s2_pallas_kernels_interpret(rng):
         s2_pallas_ok,
     )
 
+    # the real-TPU gate also requires DMA tile alignment of W/4, which
+    # these interpret-mode shapes deliberately ignore; check the gate
+    # separately at the production shapes
+    assert s2_pallas_ok((4, 48, 96, 192, 32), (3, 3, 3, 32, 64), 2)
+    assert s2_pallas_ok((4, 24, 48, 96, 64), (3, 3, 3, 64, 64), 2)
+    assert not s2_pallas_ok((1, 12, 24, 48, 64), (3, 3, 3, 64, 64), 4)
+
     for shape, co in [((2, 4, 8, 8, 32), 8), ((1, 4, 8, 16, 32), 64),
                       ((1, 6, 4, 8, 64), 16)]:
         ci = shape[-1]
         x = jnp.asarray(rng.randn(*shape).astype(np.float32))
         k = jnp.asarray(rng.randn(3, 3, 3, ci, co).astype(np.float32) * 0.1)
-        assert s2_pallas_ok(x.shape, k.shape)
         dn = lax.conv_dimension_numbers(x.shape, k.shape,
                                         ("NDHWC", "DHWIO", "NDHWC"))
         ref = lax.conv_general_dilated(x, k, (2, 2, 2), [(1, 1)] * 3,
