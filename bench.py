@@ -231,8 +231,10 @@ def main():
         for w, b in bench_memory(args.net).items():
             print(f"# {args.net}_peak_bytes_w{w}: {b}")
     if args.selfsup:
-        fps = bench_selfsup(batch=args.batch, dtype=args.dtype)
-        print(f"# dispnetcorr_selfsup_fps_384x768_{args.dtype}_b{args.batch}: {fps:.3f}")
+        # --net psmnet reproduces BASELINE config #5's shape: the flagship
+        # with double forward + photometric pyramid (stereo_selfsupervised.py)
+        fps = bench_selfsup(net=args.net, batch=args.batch, dtype=args.dtype)
+        print(f"# {args.net}_selfsup_fps_384x768_{args.dtype}_b{args.batch}: {fps:.3f}")
     if args.scaling:
         for b in (1, 2, 4, 8):
             try:

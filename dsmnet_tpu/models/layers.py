@@ -112,6 +112,63 @@ def default_dtype():
     return _compute_dtype.get()
 
 
+class LeanBN(nn.Module):
+    """BatchNorm with accumulate-dtype statistics and input-dtype math.
+
+    flax's nn.BatchNorm materializes f32 copies of the full activation
+    for its backward when the compute dtype is bf16 — the r4 b4 trace
+    shows tens of ms/step of f32 volume copies feeding BN gradients.
+    This version reduces straight from the input with an f32 accumulator
+    (``jnp.mean(..., dtype=f32)`` — no f32 volume intermediate exists in
+    the jaxpr, so autodiff saves only the bf16 input and per-channel
+    scalars) and normalizes in the input dtype.  Same formula as flax
+    (fast variance E[x^2]-E[x]^2, biased running var, full backprop
+    through batch statistics) and the same variable structure, so
+    checkpoints and param trees are interchangeable.  In f32 it is
+    numerically the same computation as nn.BatchNorm."""
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,))
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((C,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((C,), jnp.float32))
+        axes = tuple(range(x.ndim - 1))
+        acc = jnp.promote_types(x.dtype, jnp.float32)  # f32, or f64 under x64
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = jnp.mean(x, axes, dtype=acc)
+            var = jnp.mean(jnp.square(x), axes, dtype=acc) \
+                - jnp.square(mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * \
+                    jax.lax.stop_gradient(mean)
+                ra_var.value = m * ra_var.value + (1 - m) * \
+                    jax.lax.stop_gradient(var)
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        sh = (1,) * (x.ndim - 1) + (C,)
+        inv = inv.reshape(sh).astype(x.dtype)
+        off = (bias - mean * scale * jax.lax.rsqrt(var + self.epsilon))
+        off = off.reshape(sh).astype(x.dtype)
+        return x * inv + off
+
+
+def make_bn(train: bool, name: str = "BatchNorm_0"):
+    """LeanBN with the reference's BN hyperparameters (momentum 0.1 in
+    torch terms = 0.9 flax-style, eps 1e-5)."""
+    return LeanBN(use_running_average=not train, momentum=0.9,
+                  epsilon=1e-5, name=name)
+
+
 class _FastConv3dS2(nn.Module):
     """Drop-in for nn.Conv on k=3 s=2 p=1 3-D convs (hourglass
     down-stages) using ops.conv3d.conv3d_s2 — same parameter structure
@@ -249,10 +306,7 @@ class FoldedConvBN3d(nn.Module):
             dt, name="Conv_0",
         )(xf)
         v = folded_batchnorm_view(xf, self.features)
-        v = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=dt, name="BatchNorm_0",
-        )(v)
+        v = make_bn(train)(v)
         xf = v.reshape(xf.shape)
         if self.relu:
             xf = nn.relu(xf)
@@ -335,10 +389,7 @@ class ConvBN(nn.Module):
                 name="Conv_0",
             )(x)
         if self.bn:
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype if self.dtype is not None else default_dtype(),
-            )(x)
+            x = make_bn(train)(x)
         if self.relu:
             x = nn.relu(x)
         return x
@@ -394,10 +445,7 @@ class DeconvBN(nn.Module):
                 name="ConvTranspose_0",
             )(x)
         if self.bn:
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype if self.dtype is not None else default_dtype(),
-            )(x)
+            x = make_bn(train)(x)
         if self.relu:
             x = nn.relu(x)
         return x

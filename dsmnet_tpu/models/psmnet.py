@@ -30,6 +30,7 @@ from ..parallel.context import shard_activation
 from .layers import (
     ConvBN,
     FoldedConvBN3d,
+    make_bn,
     ResBlockPSM,
     _FastDeconv3d,
     conv_kernel_init,
@@ -120,9 +121,7 @@ class _Hourglass(nn.Module):
                 f, use_bias=False, kernel_init=torch_fanin_uniform,
                 bias_init=torch_fanin_uniform, dtype=default_dtype(), name=name,
             )(y)
-            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, dtype=default_dtype(),
-                                name=f"{name}_bn")(y)
+            return make_bn(train, name=f"{name}_bn")(y)
 
         post = up(p * 2, "conv5", out)
         post = nn.relu(crop_add(post, presqu if presqu is not None else pre))
@@ -152,9 +151,7 @@ class _Hourglass(nn.Module):
             )(yu)
             yf = fold(yu)
             v = folded_batchnorm_view(yf, f)
-            v = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=default_dtype(),
-                             name=f"{name}_bn")(v)
+            v = make_bn(train, name=f"{name}_bn")(v)
             return v.reshape(yf.shape)
 
         post = up(p * 2, "conv5", out, p * 2)
@@ -183,9 +180,7 @@ class _FusedStem(nn.Module):
             fL = fL.astype(dt)
             fR = fR.astype(dt)
         x = cost_volume_conv3x3(fL, fR, kernel, self.D, self.mask_left)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt
-        )(x)
+        x = make_bn(train)(x)
         return nn.relu(x)
 
 
