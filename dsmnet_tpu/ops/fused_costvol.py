@@ -229,13 +229,66 @@ def cost_volume_conv3x3_raw(fL, fR, kernel, D: int, mask_left: bool = True):
     return _assemble_jnp(A, B, D, fL.shape[2], mask_left, fL.dtype)
 
 
+def _assemble_grouped(fL, fR, kernel, D, mask_left):
+    """Assembly with the nine tap maps GROUPED by diagonal offset.
+
+    For interior d in [1, D-2] every tap is d-valid, so a left map's
+    contribution pattern depends only on m = dd - dw (mask w >= d+m) and
+    a right map's only on e = dw - dd (gather at u = w - d + e): summing
+    the maps within each group first cuts the volume-sized assembly
+    terms from 18 to 10 (multiplicities 1/2/3/2/1) — the b4 trace
+    showed ~23 ms of gather fusions + ~14 ms of stack copies in this
+    assembly.  The d = 0 / d = D-1 rows and the w = 0 / w = W-1 columns
+    (where per-tap validity differs inside a group) are patched with
+    the exact per-tap formula."""
+    W = fL.shape[2]
+    A, B = _tap_maps(fL, fR, kernel)
+    dtype = fL.dtype
+    if D < 3 or W < 3:
+        return _assemble_jnp(A, B, D, W, mask_left, dtype)
+    Am, Be = {}, {}
+    for dd in (-1, 0, 1):
+        for dw in (-1, 0, 1):
+            m, e = dd - dw, dw - dd
+            a, b = A[(dd, dw)], B[(dd, dw)]
+            Am[m] = a if m not in Am else Am[m] + a
+            Be[e] = b if e not in Be else Be[e] + b
+
+    n, h, w, o = Am[0].shape
+    d_iota = jnp.arange(1, D - 1)[None, :, None, None, None]
+    w_iota = jnp.arange(w)[None, None, None, :, None]
+    out = jnp.zeros((n, D - 2, h, w, o), dtype)
+    for m, a in sorted(Am.items()):
+        a = a[:, None]
+        if mask_left:
+            out = out + jnp.where(w_iota >= d_iota + m, a, 0.0)
+        else:
+            out = out + a
+    for e, b in sorted(Be.items()):
+        u = w_iota + e - d_iota
+        uc = jnp.clip(u[0, :, 0, :, 0], 0, w - 1)
+        bg = jnp.moveaxis(b[:, :, uc, :], 2, 1)
+        out = out + jnp.where(u >= 0, bg, 0.0)
+
+    interior_d = list(range(1, D - 1))
+    cols = _assemble_jnp(A, B, D, W, mask_left, dtype,
+                         d_values=interior_d, w_values=[0, W - 1])
+    mid = jnp.concatenate(
+        [cols[:, :, :, 0:1], out[:, :, :, 1:W - 1], cols[:, :, :, 1:2]],
+        axis=3,
+    )
+    lo = _assemble_jnp(A, B, D, W, mask_left, dtype, d_values=[0])
+    hi = _assemble_jnp(A, B, D, W, mask_left, dtype, d_values=[D - 1])
+    return jnp.concatenate([lo, mid, hi], axis=1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _fused_jnp(fL, fR, kernel, D, mask_left):
-    return cost_volume_conv3x3_raw(fL, fR, kernel, D, mask_left)
+    return _assemble_grouped(fL, fR, kernel, D, mask_left)
 
 
 def _fused_jnp_fwd(fL, fR, kernel, D, mask_left):
-    return cost_volume_conv3x3_raw(fL, fR, kernel, D, mask_left), (fL, fR, kernel)
+    return _assemble_grouped(fL, fR, kernel, D, mask_left), (fL, fR, kernel)
 
 
 def _fused_jnp_bwd(D, mask_left, res, g):

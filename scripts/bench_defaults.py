@@ -29,7 +29,8 @@ def fwd_time(net, dtype, h=375, w=1242, maxd=192):
     rng = np.random.RandomState(0)
     imL = jnp.asarray(rng.rand(1, h, w, 3), jnp.float32)
     imR = jnp.asarray(rng.rand(1, h, w, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), imL, imR, train=False)
+    small = jnp.zeros((1, 256, 512, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), small, small, train=False)
 
     def fwd(imL, variables, imR):
         return model.apply(variables, imL, imR, train=False)[1][0]

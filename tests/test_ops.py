@@ -667,3 +667,25 @@ def test_conv3d_s2_dx_is_deconv(rng):
                                np.asarray(dx_ref), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(_deconv_parity(g, k)),
                                np.asarray(dx_ref), rtol=1e-5, atol=1e-4)
+
+
+def test_fused_stem_grouped_assembly_exact(rng):
+    """The diagonal-grouped interior assembly (+ exact boundary patches)
+    equals the raw per-tap composition, including tiny D/W where the
+    boundary rows dominate (ops/fused_costvol.py _assemble_grouped)."""
+    from dsmnet_tpu.ops.fused_costvol import (
+        _assemble_grouped,
+        cost_volume_conv3x3_reference,
+    )
+
+    for (n, h, w, f, o, D, ml) in [(1, 6, 12, 4, 5, 6, True),
+                                   (2, 5, 10, 3, 4, 5, False),
+                                   (1, 4, 9, 4, 4, 3, True),
+                                   (1, 4, 8, 2, 3, 7, True)]:
+        fL = jnp.asarray(rng.randn(n, h, w, f).astype(np.float32))
+        fR = jnp.asarray(rng.randn(n, h, w, f).astype(np.float32))
+        K = jnp.asarray(rng.randn(3, 3, 3, 2 * f, o).astype(np.float32) * 0.1)
+        ref = cost_volume_conv3x3_reference(fL, fR, K, D, ml)
+        got = _assemble_grouped(fL, fR, K, D, ml)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
