@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from ..ops import concat_cost_volume, soft_argmin
 from ..parallel.context import shard_activation
-from .layers import ConvBN, DeconvBN, crop_add, res_stack_gc, siamese
+from .layers import (ConvBN, DeconvBN, FoldedConvBN3d, crop_add,
+                     res_stack_gc, siamese)
 
 __all__ = ["GCNet", "GCNetLR"]
 
@@ -41,10 +42,21 @@ class _Feature2D(nn.Module):
 
 
 class _Feature3D(nn.Module):
-    """gcnet.py:32-111: 3-D hourglass over the cost volume + soft-argmin."""
+    """gcnet.py:32-111: 3-D hourglass over the cost volume + soft-argmin.
+
+    With ``folded=True`` the encoder/skip convs run on the dense-lane
+    folded volume (ops/folded.py) — GCNet's 64-channel volume is stored
+    2x lane-padded in the unfolded form, so folding also HALVES the live
+    volume memory.  Identical math and parameter tree."""
+
+    folded: bool = False
+    W: int = 0  # logical W of the input volume when folded
+    remat: bool = False  # stage-wise rematerialization (folded path)
 
     @nn.compact
     def __call__(self, vol, train: bool = True):
+        if self.folded:
+            return self._folded(vol, train)
         c3 = lambda f, s, name: ConvBN(f, 3, s, dims=3, bn=True, name=name)
         d3 = lambda f, name: DeconvBN(f, 3, 2, dims=3, bn=True, name=name)
 
@@ -72,12 +84,61 @@ class _Feature3D(nn.Module):
         # (N, D2, H2, W2, 1) -> soft-argmin over the doubled disparity axis
         return soft_argmin(x37[..., 0], negate=True)
 
+    def _folded(self, vol, train):
+        from ..ops.folded import fold, unfold
+
+        W = self.W
+        # stage-wise remat: save only each stage's input; recompute the
+        # conv+BN in the backward.  Cuts the 384x768 b1 train footprint
+        # enough to matter because every GCNet volume tensor is ~0.9 GB.
+        FC = nn.remat(FoldedConvBN3d, static_argnums=(2,)) if self.remat \
+            else FoldedConvBN3d
+        DB = nn.remat(DeconvBN, static_argnums=(2,)) if self.remat \
+            else DeconvBN
+        fc = lambda f, Ci, Wl, s, name: FC(
+            f, Ci, Wl, s, relu=True, use_bias=True, name=name
+        )
+
+        def up(f, name, y, Ci):
+            yu = unfold(y, Ci)
+            yu = DB(f, 3, 2, dims=3, bn=True, name=name)(yu, train)
+            return fold(yu)
+
+        x18 = fold(vol)  # C = 2F = 64
+        x21 = fc(_F * 2, _F * 2, W, 2, "l21")(x18, train)
+        x24 = fc(_F * 2, _F * 2, W // 2, 2, "l24")(x21, train)
+        x27 = fc(_F * 2, _F * 2, W // 4, 2, "l27")(x24, train)
+        x30 = fc(_F * 4, _F * 2, W // 8, 2, "l30")(x27, train)
+        x31 = fc(_F * 4, _F * 4, W // 16, 1, "l31")(x30, train)
+        x32 = fc(_F * 4, _F * 4, W // 16, 1, "l32")(x31, train)
+
+        x29 = fc(_F * 2, _F * 2, W // 8, 1, "l29")(
+            fc(_F * 2, _F * 2, W // 8, 1, "l28")(x27, train), train)
+        x33 = up(_F * 2, "l33", x32, _F * 4) + x29
+
+        x26 = fc(_F * 2, _F * 2, W // 4, 1, "l26")(
+            fc(_F * 2, _F * 2, W // 4, 1, "l25")(x24, train), train)
+        x34 = up(_F * 2, "l34", x33, _F * 2) + x26
+
+        x23 = fc(_F * 2, _F * 2, W // 2, 1, "l23")(
+            fc(_F * 2, _F * 2, W // 2, 1, "l22")(x21, train), train)
+        x35 = up(_F * 2, "l35", x34, _F * 2) + x23
+
+        x20 = fc(_F, _F, W, 1, "l20")(
+            fc(_F, _F * 2, W, 1, "l19")(x18, train), train)
+        x36 = up(_F, "l36", x35, _F * 2) + x20
+
+        x37 = DeconvBN(1, 3, 2, dims=3, bn=False, relu=False,
+                       name="l37")(unfold(x36, _F), train)
+        return soft_argmin(x37[..., 0], negate=True)
+
 
 class GCNet(nn.Module):
     """models/gcnet.py:113-137. Returns a single full-resolution map."""
 
     maxdisparity: int = 192
     count_levels: int = 1
+    remat: bool = False  # rematerialize 3-D tower stages (folded path)
 
     @nn.compact
     def __call__(self, imL, imR, train: bool = True, clamp: bool = False):
@@ -89,7 +150,16 @@ class GCNet(nn.Module):
         fR = shard_activation(fR)
         D = self.maxdisparity // 2
         vol = concat_cost_volume(fL, fR, D, mask_left=False)
-        disp = _Feature3D(name="layer3d")(vol, train)
+        from ..ops import config as ops_config
+        from ..ops.folded import foldable
+
+        h2, w2 = vol.shape[2], vol.shape[3]
+        use_folded = (
+            ops_config.folded_enabled() and foldable(vol.shape)
+            and D % 16 == 0 and h2 % 16 == 0 and w2 % 16 == 0
+        )
+        disp = _Feature3D(folded=use_folded, W=w2, remat=self.remat,
+                          name="layer3d")(vol, train)
         h, w = imL.shape[1], imL.shape[2]
         disp = disp[:, :h, :w, :]
         if clamp:

@@ -258,8 +258,9 @@ class _FastDeconv3d(nn.Module):
 
 class _FoldedConv3d(nn.Module):
     """Kernel-param holder for the folded-volume convs — same param
-    structure (kernel under this module) as _FastConv3d/_FastConv3dS2
-    so folded and unfolded pathways share checkpoints."""
+    structure (kernel/bias under this module) as _FastConv3d/
+    _FastConv3dS2 so folded and unfolded pathways share checkpoints.
+    The bias broadcasts over the folded lane groups (r copies)."""
 
     features: int
     C: int
@@ -267,6 +268,8 @@ class _FoldedConv3d(nn.Module):
     stride: int
     kernel_init: Callable
     dtype: object = None
+    use_bias: bool = False
+    bias_init: Callable | None = None
 
     @nn.compact
     def __call__(self, xf):
@@ -279,31 +282,41 @@ class _FoldedConv3d(nn.Module):
             xf = xf.astype(dt)
             kern = kern.astype(dt)
         if self.stride == 2:
-            return folded_conv3d_s2(xf, kern, self.C, self.W)
-        return folded_conv3d_same(xf, kern, self.C, self.W)
+            y = folded_conv3d_s2(xf, kern, self.C, self.W)
+        else:
+            y = folded_conv3d_same(xf, kern, self.C, self.W)
+        if self.use_bias:
+            b = self.param("bias", self.bias_init, (self.features,))
+            r = 128 // self.features if self.features <= 128 else 1
+            bl = jnp.tile(b, max(r, 1))[:128] if self.features < 128 \
+                else b[:128]
+            y = y + (bl.astype(dt) if dt is not None else bl)
+        return y
 
 
 class FoldedConvBN3d(nn.Module):
     """convbn_3d on the FOLDED volume (N, D, H, W*C/128, 128) — the
     dense-lane pathway that keeps the 3-D regularizer free of per-conv
     pad/refold/layout traffic (ops/folded.py; r4 trace analysis).
-    Param tree matches ConvBN(dims=3, use_bias=False, bn=True) exactly:
-    {name}/Conv_0/kernel + {name}/BatchNorm_0/{scale,bias} + stats."""
+    Param tree matches ConvBN(dims=3, bn=True) exactly:
+    {name}/Conv_0/{kernel[,bias]} + {name}/BatchNorm_0/{scale,bias}."""
 
     features: int
     C: int           # logical input channels
     W: int           # logical input width
     stride: int = 1
     relu: bool = True
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, xf, train: bool = True):
         from ..ops.folded import folded_batchnorm_view
 
         dt = default_dtype()
+        fan_in = 27.0 * self.C
         xf = _FoldedConv3d(
             self.features, self.C, self.W, self.stride, conv_kernel_init,
-            dt, name="Conv_0",
+            dt, self.use_bias, _fanin_uniform_bias(fan_in), name="Conv_0",
         )(xf)
         v = folded_batchnorm_view(xf, self.features)
         v = make_bn(train)(v)

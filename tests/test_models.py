@@ -167,3 +167,31 @@ def test_psmnet_folded_regularizer_equivalent(rng):
     for i, (a, b) in enumerate(zip(out0, out1)):
         err = float(jnp.max(jnp.abs(a - b)))
         assert err < 1e-3, (i, err)
+
+
+def test_gcnet_folded_regularizer_equivalent(rng):
+    """GCNet's folded 3-D hourglass pathway (ops/folded.py) is a pure
+    re-layout: same param tree, same eval outputs as the unfolded path."""
+    import jax
+
+    from dsmnet_tpu.models import create_model
+    from dsmnet_tpu.ops import config
+
+    model = create_model("gcnet", maxdisparity=32)
+    imL = jnp.asarray(rng.rand(1, 64, 128, 3).astype(np.float32))
+    imR = jnp.asarray(rng.rand(1, 64, 128, 3).astype(np.float32))
+
+    old = config.folded_regularizer
+    try:
+        config.folded_regularizer = False
+        v0 = model.init(jax.random.PRNGKey(0), imL, imR, train=False)
+        out0 = model.apply(v0, imL, imR, train=False)[1][0]
+        config.folded_regularizer = True
+        v1 = model.init(jax.random.PRNGKey(0), imL, imR, train=False)
+        assert jax.tree.map(lambda a: a.shape, v0) == \
+            jax.tree.map(lambda a: a.shape, v1), "param tree changed"
+        out1 = model.apply(v0, imL, imR, train=False)[1][0]
+    finally:
+        config.folded_regularizer = old
+    err = float(jnp.max(jnp.abs(out0 - out1)))
+    assert err < 1e-3, err

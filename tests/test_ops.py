@@ -512,7 +512,8 @@ def test_conv3d_pallas_kernels_interpret(rng):
     from dsmnet_tpu.ops.conv3d import _dk_pertap
     from dsmnet_tpu.ops.conv3d_pallas import conv3d_dk_pallas, conv3d_fwd_pallas
 
-    for shape, co in [((1, 6, 8, 16, 32), 32), ((2, 4, 8, 8, 64), 32)]:
+    for shape, co in [((1, 6, 8, 16, 32), 32), ((2, 4, 8, 8, 64), 32),
+                      ((1, 4, 8, 8, 128), 128)]:
         ci = shape[-1]
         x = jnp.asarray(rng.randn(*shape).astype(np.float32))
         k = jnp.asarray(rng.randn(3, 3, 3, ci, co).astype(np.float32) * 0.1)
