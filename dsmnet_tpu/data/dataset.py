@@ -115,11 +115,16 @@ class SyntheticStereoDataset:
         self.transform = transform
         self.seed = seed
         self.with_gt = with_gt
+        # multihost.shard_dataset_for_host restricts path-less datasets by
+        # index striding: host i of p sees samples i, i+p, i+2p, ...
+        self.index_offset = 0
+        self.index_stride = 1
 
     def __len__(self):
-        return self.n
+        return (self.n - self.index_offset + self.index_stride - 1) // self.index_stride
 
     def __getitem__(self, index):
+        index = self.index_offset + index * self.index_stride
         h, w = self.hw
         rng = np.random.RandomState(self.seed * 100003 + index)
         d0 = rng.uniform(4, self.max_disp * 0.5)
@@ -170,8 +175,16 @@ class ConcatDataset:
 class BatchLoader:
     """Threaded shuffling batch loader with prefetch.
 
+    ``num_workers`` decode threads (cv2/numpy release the GIL) each claim
+    whole batches from a shared cursor, decode + augment them in parallel,
+    and publish into an ordered reorder buffer, so the consumer sees
+    batches in the SAME deterministic order regardless of worker count —
+    the reference's ``DataLoader(num_workers=4)`` contract
+    (stereo_supervised.py:29-39) without fork workers.  In-flight work is
+    bounded by ``prefetch + num_workers`` batches.
+
     Yields (batch (N,H,W,C) float32, list[filename]).  ``drop_last=False``
-    like the reference DataLoaders (stereo_supervised.py:29-39).
+    like the reference DataLoaders.
     """
 
     def __init__(self, dataset, batch_size=1, shuffle=False, num_workers=4,
@@ -191,6 +204,20 @@ class BatchLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
+    def _decode_batch(self, idxs):
+        samples = [self.dataset[int(i)] for i in idxs]
+        arrs = [s[0] for s in samples]
+        shapes = {a.shape for a in arrs}
+        if len(shapes) > 1:
+            raise ValueError(
+                f"heterogeneous sample shapes in one batch: {shapes} "
+                "(crop size must be strictly smaller than "
+                "image width minus shift_max)"
+            )
+        imgs = np.stack(arrs).astype(np.float32)
+        names = [s[1] for s in samples]
+        return imgs, names
+
     def __iter__(self):
         n = len(self.dataset)
         order = np.arange(n)
@@ -203,42 +230,66 @@ class BatchLoader:
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        nw = min(self.num_workers, max(1, len(batches)))
         stop = threading.Event()
+        slots = threading.Semaphore(self.prefetch + nw)
+        cursor_lock = threading.Lock()
+        cursor = [0]
+        done: dict = {}
+        cond = threading.Condition()
+
+        def claim():
+            with cursor_lock:
+                i = cursor[0]
+                if i >= len(batches):
+                    return None, None
+                cursor[0] = i + 1
+                return i, batches[i]
 
         def worker():
-            try:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    samples = [self.dataset[int(i)] for i in idxs]
-                    arrs = [s[0] for s in samples]
-                    shapes = {a.shape for a in arrs}
-                    if len(shapes) > 1:
-                        raise ValueError(
-                            f"heterogeneous sample shapes in one batch: {shapes} "
-                            "(crop size must be strictly smaller than "
-                            "image width minus shift_max)"
-                        )
-                    imgs = np.stack(arrs).astype(np.float32)
-                    names = [s[1] for s in samples]
-                    q.put((imgs, names))
-                q.put(None)
-            except BaseException as exc:  # propagate to the consumer thread
-                q.put(exc)
+            while not stop.is_set():
+                slots.acquire()
+                if stop.is_set():
+                    return
+                seq, idxs = claim()
+                if seq is None:
+                    slots.release()
+                    return
+                try:
+                    item = self._decode_batch(idxs)
+                except BaseException as exc:  # noqa: BLE001 — to consumer
+                    item = exc
+                with cond:
+                    done[seq] = item
+                    cond.notify_all()
+                if isinstance(item, BaseException):
+                    return
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(nw)]
+        for t in threads:
+            t.start()
         try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
+            for seq in range(len(batches)):
+                with cond:
+                    while seq not in done:
+                        cond.wait(timeout=0.5)
+                        if seq not in done and not any(
+                            t.is_alive() for t in threads
+                        ):
+                            raise RuntimeError(
+                                "BatchLoader workers died without output"
+                            )
+                    item = done.pop(seq)
                 if isinstance(item, BaseException):
                     raise item
                 yield item
+                slots.release()
         finally:
             stop.set()
+            # unblock any worker parked on the semaphore
+            for _ in threads:
+                slots.release()
 
 
 def dataset_by_name(names: str, root: str, transform=None, train=True):

@@ -58,7 +58,10 @@ def main():
             "fwd_native": (lambda xx, kk: c3._conv_s2_native(xx, kk), (x, k), gflop),
             "fwd_s2d": (lambda xx, kk: c3._conv_s2_s2d(xx, kk), (x, k), gflop * 64 / 27),
             "dx_native": (dx_native, (g, k), gflop),
-            "dk_s2dpertap": (dk_cur, (x, g), gflop),
+            # label reflects the ACTIVE conv3d_s2 mode: with the TPU default
+            # conv3d_s2_mode()=='pallas' this times the Pallas dK kernel, not
+            # the s2d per-tap path (ADVICE r4)
+            f"dk_{c3.config.conv3d_s2_mode()}": (dk_cur, (x, g), gflop),
             "fullgrad": (full, (x, k), 3 * gflop),
         }
         for rname, (fn, fargs, gf) in rows.items():
