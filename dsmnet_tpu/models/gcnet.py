@@ -52,11 +52,12 @@ class _Feature3D(nn.Module):
     folded: bool = False
     W: int = 0  # logical W of the input volume when folded
     remat: bool = False  # stage-wise rematerialization (folded path)
+    D: int = 0  # volume disparity slices (only used when fL/fR passed)
 
     @nn.compact
-    def __call__(self, vol, train: bool = True):
+    def __call__(self, vol, train: bool = True, fL=None, fR=None):
         if self.folded:
-            return self._folded(vol, train)
+            return self._folded(vol, train, fL, fR)
         c3 = lambda f, s, name: ConvBN(f, 3, s, dims=3, bn=True, name=name)
         d3 = lambda f, name: DeconvBN(f, 3, 2, dims=3, bn=True, name=name)
 
@@ -84,7 +85,7 @@ class _Feature3D(nn.Module):
         # (N, D2, H2, W2, 1) -> soft-argmin over the doubled disparity axis
         return soft_argmin(x37[..., 0], negate=True)
 
-    def _folded(self, vol, train):
+    def _folded(self, vol, train, fL=None, fR=None):
         from ..ops.folded import fold, unfold
 
         W = self.W
@@ -103,6 +104,54 @@ class _Feature3D(nn.Module):
             yu = unfold(y, Ci)
             yu = DB(f, 3, 2, dims=3, bn=True, name=name)(yu, train)
             return fold(yu)
+
+        if fL is not None:
+            # volume rematerialization (VERDICT r4 task #3): the folded
+            # volume x18 is 0.9 GB bf16 at the 384x768 recipe crop and is
+            # consumed by BOTH l21 (encoder entry) and l19 (skip branch) —
+            # keeping it as a backward residual is what pushed the r4
+            # footprint 2% past one v5e.  Building it INSIDE each
+            # consumer's checkpointed stage makes the saved residuals the
+            # two 4.5 MB feature maps instead; the backward rebuilds the
+            # volume (a bandwidth-only broadcast/shift, ~1 ms) twice.
+            def _vol(a, b):
+                return fold(concat_cost_volume(a, b, self.D, mask_left=False))
+
+            def _enc_in(mdl, a, b):
+                return mdl(_vol(a, b), train)
+
+            def _skip_in(mdl19, mdl20, a, b):
+                return mdl20(mdl19(_vol(a, b), train), train)
+
+            l21m = fc(_F * 2, _F * 2, W, 2, "l21")
+            l19m = fc(_F, _F * 2, W, 1, "l19")
+            l20m = fc(_F, _F, W, 1, "l20")
+            x21 = nn.remat(_enc_in)(l21m, fL, fR)
+            x24 = fc(_F * 2, _F * 2, W // 2, 2, "l24")(x21, train)
+            x27 = fc(_F * 2, _F * 2, W // 4, 2, "l27")(x24, train)
+            x30 = fc(_F * 4, _F * 2, W // 8, 2, "l30")(x27, train)
+            x31 = fc(_F * 4, _F * 4, W // 16, 1, "l31")(x30, train)
+            x32 = fc(_F * 4, _F * 4, W // 16, 1, "l32")(x31, train)
+
+            x29 = fc(_F * 2, _F * 2, W // 8, 1, "l29")(
+                fc(_F * 2, _F * 2, W // 8, 1, "l28")(x27, train), train)
+            x33 = up(_F * 2, "l33", x32, _F * 4) + x29
+
+            x26 = fc(_F * 2, _F * 2, W // 4, 1, "l26")(
+                fc(_F * 2, _F * 2, W // 4, 1, "l25")(x24, train), train)
+            x34 = up(_F * 2, "l34", x33, _F * 2) + x26
+
+            x23 = fc(_F * 2, _F * 2, W // 2, 1, "l23")(
+                fc(_F * 2, _F * 2, W // 2, 1, "l22")(x21, train), train)
+            x35 = up(_F * 2, "l35", x34, _F * 2) + x23
+
+            # skip branch built late so its forward live window is short
+            x20 = nn.remat(_skip_in)(l19m, l20m, fL, fR)
+            x36 = up(_F, "l36", x35, _F * 2) + x20
+
+            x37 = DeconvBN(1, 3, 2, dims=3, bn=False, relu=False,
+                           name="l37")(unfold(x36, _F), train)
+            return soft_argmin(x37[..., 0], negate=True)
 
         x18 = fold(vol)  # C = 2F = 64
         x21 = fc(_F * 2, _F * 2, W, 2, "l21")(x18, train)
@@ -149,17 +198,25 @@ class GCNet(nn.Module):
         fL = shard_activation(fL)
         fR = shard_activation(fR)
         D = self.maxdisparity // 2
-        vol = concat_cost_volume(fL, fR, D, mask_left=False)
         from ..ops import config as ops_config
         from ..ops.folded import foldable
 
-        h2, w2 = vol.shape[2], vol.shape[3]
+        n = fL.shape[0]
+        h2, w2 = fL.shape[1], fL.shape[2]
+        vol_shape = (n, D, h2, w2, 2 * fL.shape[-1])
         use_folded = (
-            ops_config.folded_enabled() and foldable(vol.shape)
+            ops_config.folded_enabled() and foldable(vol_shape)
             and D % 16 == 0 and h2 % 16 == 0 and w2 % 16 == 0
         )
-        disp = _Feature3D(folded=use_folded, W=w2, remat=self.remat,
-                          name="layer3d")(vol, train)
+        reg = _Feature3D(folded=use_folded, W=w2, remat=self.remat, D=D,
+                         name="layer3d")
+        if use_folded and self.remat:
+            # volume built inside the consumer stages' remat (see
+            # _Feature3D._folded) — never a saved backward residual
+            disp = reg(None, train, fL=fL, fR=fR)
+        else:
+            vol = concat_cost_volume(fL, fR, D, mask_left=False)
+            disp = reg(vol, train)
         h, w = imL.shape[1], imL.shape[2]
         disp = disp[:, :h, :w, :]
         if clamp:

@@ -76,6 +76,15 @@ def conv3d_s2_mode() -> str:
     return "pallas" if jax.default_backend() == "tpu" else "native"
 
 
+# Fused-stem jnp assembly formulation (ops/fused_costvol.py):
+#   "skew"    — gather-free: right groups collapse to ONE skew-reshape
+#               broadcast, left is a fused prefix-map select, boundaries
+#               are where-fused (r5; removes the r4 trace's ~23 ms of
+#               gather fusions + ~14 ms of concat copies at b4)
+#   "grouped" — r4 diagonal-grouped assembly (5 right-group gathers +
+#               boundary concats); kept for A/B benchmarking
+stem_assembly: str = "skew"
+
 # Folded-volume regularizer pathway (ops/folded.py): keep the 3-D
 # cost volume in the dense-lane (N,D,H,W*C/128,128) form between convs.
 #   True/False — force; None — auto: on for TPU backends.

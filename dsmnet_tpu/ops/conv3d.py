@@ -129,6 +129,28 @@ def _conv_tapfold(x, k):
     return y
 
 
+def _conv_cin1(x, k):
+    """Stride-1 SAME conv for ONE input channel as a 27-tap stencil:
+    out[.., c] = sum_taps x[shifted] * k[tap, 0, c].  REJECTED as the
+    classifier-c1 dx formulation: in-model it measured +116 ms on the
+    b4 step (584 vs 468 ms) — XLA materializes the shifted volume
+    intermediates instead of fusing the stencil.  Kept for
+    benchmarking (scripts/bench_classdx.py)."""
+    kd, kh, kw, _, co = k.shape
+    n, D, H, W, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (kd // 2,) * 2, (kh // 2,) * 2,
+                     (kw // 2,) * 2, (0, 0)))
+    y = None
+    for dd in range(kd):
+        for dh in range(kh):
+            for dw in range(kw):
+                piece = lax.dynamic_slice(
+                    xp, (0, dd, dh, dw, 0), (n, D, H, W, 1))
+                term = piece * k[dd, dh, dw, 0]
+                y = term if y is None else y + term
+    return y
+
+
 def _conv_fast(x, k):
     """Stride-1 SAME conv — formulation picked by ops.config.conv3d_mode()."""
     from . import config

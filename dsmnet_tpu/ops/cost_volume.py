@@ -41,6 +41,12 @@ def concat_cost_volume_reference(
     for d in range(D):
         if d == 0:
             left, right = fL, fR
+        elif d >= w:
+            # whole slice out of range: the reference's in-place loop
+            # assigns nothing (gcnet.py:131-135 with an empty [..., i:]
+            # target), so the slice stays zero
+            right = jnp.zeros_like(fR)
+            left = jnp.zeros_like(fL) if mask_left else fL
         else:
             right = jnp.pad(fR[:, :, : w - d, :], ((0, 0), (0, 0), (d, 0), (0, 0)))
             if mask_left:

@@ -282,13 +282,110 @@ def _assemble_grouped(fL, fR, kernel, D, mask_left):
     return jnp.concatenate([lo, mid, hi], axis=1)
 
 
+def _assemble_skew(fL, fR, kernel, D, mask_left):
+    """Gather-free assembly via the skew-reshape trick (r5).
+
+    The r4 grouped assembly still paid ~23 ms of gather fusions and
+    ~14 ms of stack copies per b4 step: each right group e was gathered
+    at u = w - d + e with a (D, W) index array, and the d/w boundary
+    patches were applied as whole-volume concatenations.  This version
+    removes every gather and every concat:
+
+      * RIGHT: all five e-groups collapse into ONE combined 2-D map
+        first (u = w - d + e means group e is a static W-shift of the
+        same base offset), then the single per-d offset -d is realized
+        by the skew re-view — broadcast the padded map over D, re-view
+        rows at length Wp-1, and row d reads column j - d.  One volume
+        copy, no index arrays.
+      * LEFT: sum_m Am * [w >= d+m] depends on j = w - d only through
+        which prefix of the m-sorted maps applies, so it is a fused
+        chain of selects among six precomputed 2-D prefix maps.
+      * BOUNDARIES (d = 0 / D-1 rows, w = 0 / W-1 columns, where per-tap
+        validity differs): exact thin patches applied with
+        iota-compare ``jnp.where`` — they fuse into the same output
+        write instead of re-copying the volume.
+    """
+    W = fL.shape[2]
+    A, B = _tap_maps(fL, fR, kernel)
+    dtype = fL.dtype
+    if D < 3 or W < 3:
+        return _assemble_jnp(A, B, D, W, mask_left, dtype)
+
+    Am, Be = {}, {}
+    for dd in (-1, 0, 1):
+        for dw in (-1, 0, 1):
+            m, e = dd - dw, dw - dd
+            a, b = A[(dd, dw)], B[(dd, dw)]
+            Am[m] = a if m not in Am else Am[m] + a
+            Be[e] = b if e not in Be else Be[e] + b
+
+    n, h, w, o = Am[0].shape
+
+    # ---- right half: one skewed broadcast of the combined map ----
+    # interior rows d in [1, D-2], interior cols w in [1, W-2]:
+    # contribution = sum_e Be[e][w - d + e], zeros where w - d + e < 0
+    PB = D + 2
+    Wp = W + PB + 4  # left margin PB (covers u >= -D-1), right margin 4
+    Bsum = jnp.zeros((n, h, Wp, o), dtype)
+    for e, b in Be.items():
+        # place Be[e] so that column (PB + v - e) holds Be[e][v]:
+        # reading column w - d + PB then yields Be[e][w - d + e]
+        Bsum = Bsum + jnp.pad(
+            b, ((0, 0), (0, 0), (PB - e, 4 + e), (0, 0)))
+    Bb = jnp.broadcast_to(Bsum[:, :, None], (n, h, D, Wp, o))
+    flat = Bb.reshape(n, h, D * Wp, o)
+    skew = flat[:, :, : D * (Wp - 1)].reshape(n, h, D, Wp - 1, o)
+    right = skew[:, :, :, PB : PB + W, :]  # [d, w] = Bsum[w - d + PB]
+    right = jnp.moveaxis(right, 2, 1)      # (n, D, h, W, o)
+
+    d_iota = jnp.arange(D)[None, :, None, None, None]
+    w_iota = jnp.arange(W)[None, None, None, :, None]
+    j = w_iota - d_iota
+
+    # ---- left half: prefix-map select on j = w - d ----
+    if mask_left:
+        order = sorted(Am)  # (-2, -1, 0, 1, 2)
+        prefix = []
+        acc = None
+        for m in order:
+            acc = Am[m] if acc is None else acc + Am[m]
+            prefix.append(acc[:, None])  # sum of maps with m <= order[i]
+        # j >= 2 -> all taps pass; j == k in [-2, 1] -> prefix up to k;
+        # j < -2 -> zero
+        left = jnp.where(j >= 2, prefix[4],
+               jnp.where(j == 1, prefix[3],
+               jnp.where(j == 0, prefix[2],
+               jnp.where(j == -1, prefix[1],
+               jnp.where(j == -2, prefix[0], jnp.zeros((), dtype))))))
+    else:
+        left = jnp.broadcast_to(sum(Am.values())[:, None],
+                                (n, D, h, W, o))
+
+    out = left + right
+
+    # ---- exact boundary patches, fused as where-selects ----
+    cols = _assemble_jnp(A, B, D, W, mask_left, dtype,
+                         w_values=[0, W - 1])          # (n, D, h, 2, o)
+    out = jnp.where(w_iota == 0, cols[:, :, :, 0:1, :], out)
+    out = jnp.where(w_iota == W - 1, cols[:, :, :, 1:2, :], out)
+    rows = _assemble_jnp(A, B, D, W, mask_left, dtype,
+                         d_values=[0, D - 1])          # (n, 2, h, W, o)
+    out = jnp.where(d_iota == 0, rows[:, 0:1], out)
+    out = jnp.where(d_iota == D - 1, rows[:, 1:2], out)
+    return out
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _fused_jnp(fL, fR, kernel, D, mask_left):
-    return _assemble_grouped(fL, fR, kernel, D, mask_left)
+    from . import config
+
+    assemble = _assemble_skew if config.stem_assembly == "skew" \
+        else _assemble_grouped
+    return assemble(fL, fR, kernel, D, mask_left)
 
 
 def _fused_jnp_fwd(fL, fR, kernel, D, mask_left):
-    return _assemble_grouped(fL, fR, kernel, D, mask_left), (fL, fR, kernel)
+    return _fused_jnp(fL, fR, kernel, D, mask_left), (fL, fR, kernel)
 
 
 def _fused_jnp_bwd(D, mask_left, res, g):

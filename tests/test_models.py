@@ -195,3 +195,59 @@ def test_gcnet_folded_regularizer_equivalent(rng):
         config.folded_regularizer = old
     err = float(jnp.max(jnp.abs(out0 - out1)))
     assert err < 1e-3, err
+
+
+def test_gcnet_volume_remat_step_equivalent(rng):
+    """GCNet remat=True (volume rebuilt inside the checkpointed l21/l19
+    stages, VERDICT r4 task #3) must be a pure memory-schedule change:
+    identical param tree, same train-step loss and updated params as the
+    non-remat folded path."""
+    import jax
+
+    from dsmnet_tpu.losses import parse_loss_name
+    from dsmnet_tpu.models import create_model
+    from dsmnet_tpu.ops import config
+    from dsmnet_tpu.train import create_train_state, make_supervised_train_step
+
+    batch = np.zeros((1, 32, 64, 7), np.float32)
+    batch[..., :6] = rng.rand(1, 32, 64, 6)
+    batch[..., 6] = rng.rand(1, 32, 64) * 10 + 1
+    batch = jnp.asarray(batch)
+
+    old = config.folded_regularizer
+    try:
+        config.folded_regularizer = True
+
+        from dsmnet_tpu.losses import supervised_pyramid_loss
+
+        def loss_and_grads(remat):
+            model = create_model("gcnet", maxdisparity=32, remat=remat)
+            state, _ = create_train_state(model, jax.random.PRNGKey(0),
+                                          sample_hw=(32, 64))
+            spec = parse_loss_name("supervised", model.count_levels, 1)
+            weights = jnp.asarray(spec.weights(10))
+            imL, imR, gt = batch[..., :3], batch[..., 3:6], batch[..., 6:7]
+
+            def f(params):
+                (scales, disps), _ = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    imL, imR, train=True, mutable=["batch_stats"])
+                return supervised_pyramid_loss(gt, disps, scales, weights, True)
+
+            return jax.value_and_grad(f)(state.params)
+
+        loss0, g0 = loss_and_grads(False)
+        loss1, g1 = loss_and_grads(True)
+    finally:
+        config.folded_regularizer = old
+    assert float(loss1) == pytest.approx(float(loss0), rel=1e-5)
+    # compare gradients with a per-leaf relative bound plus an absolute
+    # floor: conv biases feeding BatchNorm have mathematically ZERO
+    # gradient (BN subtracts the mean), so those leaves are pure fp noise
+    # at ~1e-6 and any relative measure on them is meaningless (Adam
+    # would likewise amplify them into +-lr sign flips)
+    bad = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))) > 1e-5
+        and float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-6))
+        > 1e-3, g0, g1)
+    assert not any(jax.tree.leaves(bad)), "grads diverged beyond fp noise"

@@ -690,3 +690,53 @@ def test_fused_stem_grouped_assembly_exact(rng):
         got = _assemble_grouped(fL, fR, K, D, ml)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("mask_left", [True, False])
+@pytest.mark.parametrize("shape", [(6, 8, 12), (16, 8, 12), (4, 5, 3)])
+def test_fused_stem_skew_assembly_exact(rng, mask_left, shape):
+    """The r5 gather-free skew assembly must equal both the r4 grouped
+    assembly and the volume+conv composition, including D >= W and the
+    d/w boundary rows the interior formula patches."""
+    from dsmnet_tpu.ops.fused_costvol import (
+        _assemble_grouped,
+        _assemble_skew,
+        cost_volume_conv3x3_reference,
+    )
+
+    D, h, w = shape
+    fL = jnp.asarray(rng.randn(2, h, w, 4).astype(np.float32))
+    fR = jnp.asarray(rng.randn(2, h, w, 4).astype(np.float32))
+    K = jnp.asarray(rng.randn(3, 3, 3, 8, 5).astype(np.float32) * 0.1)
+    ref = cost_volume_conv3x3_reference(fL, fR, K, D, mask_left)
+    out_g = _assemble_grouped(fL, fR, K, D, mask_left)
+    out_s = _assemble_skew(fL, fR, K, D, mask_left)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(ref), atol=1e-5)
+
+
+def test_conv3d_cin1_stencil_exact(rng):
+    """The Cin=1 stencil path (classifier-c1 backward dx shape) must
+    equal the native conv, forward and as the dx of a Co=1 conv."""
+    from dsmnet_tpu.ops.conv3d import _conv, _conv_cin1, conv3d_same
+
+    x1 = jnp.asarray(rng.randn(2, 6, 8, 10, 1).astype(np.float32))
+    k1 = jnp.asarray(rng.randn(3, 3, 3, 1, 32).astype(np.float32) * 0.1)
+    ref = _conv(x1, k1, [(1, 1)] * 3)
+    out = _conv_cin1(x1, k1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # full grads of a (32 -> 1) conv route dx through the stencil
+    x = jnp.asarray(rng.randn(1, 6, 8, 10, 32).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 32, 1).astype(np.float32) * 0.1)
+
+    def f(conv):
+        return lambda a, b: jnp.sum(conv(a, b) ** 2)
+
+    ref_conv = lambda a, b: _conv(a, b, [(1, 1)] * 3)
+    g0 = jax.grad(f(ref_conv), argnums=(0, 1))(x, k)
+    g1 = jax.grad(f(conv3d_same), argnums=(0, 1))(x, k)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
