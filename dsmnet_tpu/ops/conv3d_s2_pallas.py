@@ -417,3 +417,202 @@ def conv3d_s2_dk_pallas(x, g, hto: int | None = None,
     gf = g.reshape(n, D // 2, H // 2, W // 4, 2 * Co)
     return conv3d_s2_dk_pallas_padded(xp, gf, (3, 3, 3, C, Co), W, hto=hto,
                                       interpret=interpret)
+
+
+# --------------------------------------------------------------- dx (folded)
+#
+# dx of the stride-2 conv IS the k3/s2/p1/op1 transposed conv of the
+# cotangent.  The XLA route (unfold g -> parity-folded deconv GEMM ->
+# fold dx) is GEMM-fast but pays ~10 ms of layout copies per call at
+# the b4 conv1 shape (r5 trace: the [4,24,2,48,2,96,2,32] parity views
+# and [4,48,96,48,128] fold boundaries are the largest copy cluster in
+# the step).  This kernel reads the FOLDED cotangent and writes the
+# FOLDED dx directly — no parity materialization, no unfold/fold.
+#
+# Geometry (C = 32, so one folded output column uo covers w-columns
+# x = 4*uo + pw, pw in [0,4), lane = pw*C + c):
+#   dx[z, y, x, c] = sum_{td,th,tw} k[td,th,tw,c,co] * g[gz, gy, w, co]
+#   with gz = (z+1-td)/2 integral (z even -> td=1; z odd -> td in {0,2}),
+#   same for gy, and w = (x+1-tw)/2 -> folded g column/parity:
+#     (pw=0, tw=1) -> (uo, po=0)    (pw=1, tw=0) -> (uo, po=1)
+#     (pw=1, tw=2) -> (uo, po=0)    (pw=2, tw=1) -> (uo, po=1)
+#     (pw=3, tw=2) -> (uo, po=1)    (pw=3, tw=0) -> (uo+1, po=0) [side]
+# The four (pz, py) output parities run as four GEMMs (N = 128) against
+# per-parity kernel matrices; the side (uo+1) read is realized by
+# rolling the f32 side product up one row (the dK kernel's trick).
+# Output is written as the parity view (N, D/2, 2, H/2, 2, UF, 128)
+# whose reshape to the canonical folded (N, D, H, UF, 128) is free.
+
+# patch-order (dz, dy) -> (td, th) per parity; dz-major
+_DX_TDH = {
+    (0, 0): [(1, 1)],
+    (0, 1): [(1, 2), (1, 0)],
+    (1, 0): [(2, 1), (0, 1)],
+    (1, 1): [(2, 2), (2, 0), (0, 2), (0, 0)],
+}
+_DX_TW = {(0, 0): 1, (1, 1): 0, (1, 0): 2, (2, 1): 1, (3, 1): 2}
+_PARITIES = [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+
+def s2_dx_pallas_ok(x_shape, k_shape, itemsize: int = 2,
+                    check_tiling: bool = True) -> bool:
+    """x_shape is the forward INPUT (= dx output) logical shape."""
+    n, D, H, W, C = x_shape
+    if k_shape[:3] != (3, 3, 3):
+        return False
+    Co = k_shape[-1]
+    if check_tiling and (W // 4) % 8 != 0:
+        return False
+    return (
+        C == 32 and 8 <= Co <= 64 and Co % 8 == 0
+        and D % 2 == 0 and H % 2 == 0 and W % 4 == 0 and D >= 4 and H >= 4
+    )
+
+
+def _dx_kernel_matrix(k):
+    """(3,3,3,C,Co) -> concatenated per-parity main+side matrices
+    (rows: [main p00 | p01 | p10 | p11 | side p00 | p01 | p10 | p11],
+    cols: out lane = pw*C + c)."""
+    C, Co = k.shape[3], k.shape[4]
+    blocks = []
+    for p in _PARITIES:
+        for td, th in _DX_TDH[p]:
+            blk = jnp.zeros((2, Co, 4 * C), k.dtype)
+            for (pw, po), tw in _DX_TW.items():
+                blk = blk.at[po, :, pw * C:(pw + 1) * C].set(
+                    k[td, th, tw].swapaxes(0, 1))
+            blocks.append(blk.reshape(2 * Co, 4 * C))
+    for p in _PARITIES:
+        for td, th in _DX_TDH[p]:
+            blk = jnp.zeros((Co, 4 * C), k.dtype)
+            blk = blk.at[:, 3 * C:].set(k[td, th, 0].swapaxes(0, 1))
+            blocks.append(blk)
+    return jnp.concatenate(blocks, axis=0)
+
+
+def _dx_offsets(Co):
+    """Static row offsets of each parity's main/side block in the
+    concatenated kernel matrix."""
+    offs = {}
+    off = 0
+    for p in _PARITIES:
+        n = len(_DX_TDH[p])
+        offs[("m", p)] = (off, n * 2 * Co)
+        off += n * 2 * Co
+    for p in _PARITIES:
+        n = len(_DX_TDH[p])
+        offs[("s", p)] = (off, n * Co)
+        off += n * Co
+    return offs, off
+
+
+def _dx_kernel(gq_ref, km_ref, out_ref, ring, sem, *, hto, UF, C, Co, D2):
+    n = pl.program_id(0)
+    j = pl.program_id(1)
+    zo = pl.program_id(2)
+    h0 = j * hto
+    L = 2 * Co
+
+    def dma(plane, slot):
+        return pltpu.make_async_copy(
+            gq_ref.at[n, plane, pl.ds(h0, hto + 1), :, :],
+            ring.at[slot], sem.at[slot],
+        )
+
+    @pl.when(zo == 0)
+    def _():
+        dma(0, 0).start()
+        dma(0, 0).wait()
+        dma(1, 1).start()
+
+    # one-ahead prefetch (padded planes run to index D2)
+    @pl.when(zo + 2 <= D2)
+    def _():
+        dma(zo + 2, (zo + 2) % 4).start()
+
+    dma(zo + 1, (zo + 1) % 4).wait()
+
+    slab_a = ring[zo % 4]        # g plane zo   (hto+1, UF, 2Co)
+    slab_b = ring[(zo + 1) % 4]  # g plane zo+1
+    M = hto * UF
+    A = {
+        (0, 0): slab_a[0:hto].reshape(M, L),
+        (0, 1): slab_a[1:hto + 1].reshape(M, L),
+        (1, 0): slab_b[0:hto].reshape(M, L),
+        (1, 1): slab_b[1:hto + 1].reshape(M, L),
+    }
+    dzdy = {
+        (0, 0): [(0, 0)],
+        (0, 1): [(0, 0), (0, 1)],
+        (1, 0): [(0, 0), (1, 0)],
+        (1, 1): [(0, 0), (0, 1), (1, 0), (1, 1)],
+    }
+    offs, _total = _dx_offsets(Co)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+    for pz, py in _PARITIES:
+        taps = dzdy[(pz, py)]
+        P = jnp.concatenate([A[t] for t in taps], axis=-1) \
+            if len(taps) > 1 else A[taps[0]]
+        o, ln = offs[("m", (pz, py))]
+        res = jnp.dot(P, km_ref[o:o + ln],
+                      preferred_element_type=jnp.float32)
+        Ps = jnp.concatenate([A[t][:, :Co] for t in taps], axis=-1) \
+            if len(taps) > 1 else A[taps[0]][:, :Co]
+        o, ln = offs[("s", (pz, py))]
+        S = jnp.dot(Ps, km_ref[o:o + ln],
+                    preferred_element_type=jnp.float32)
+        # side product belongs at out column uo = (g column) - 1
+        S = jnp.where((rows % UF) == UF - 1, 0.0, pltpu.roll(S, M - 1, 0))
+        out_ref[0, 0, pz, :, py] = (res + S).astype(out_ref.dtype).reshape(
+            hto, UF, 4 * C)
+
+
+def conv3d_s2_dx_pallas_folded(gf, k, hto: int | None = None,
+                               interpret: bool = False):
+    """Folded dx of the stride-2 conv: gf (N, D/2, H/2, W/4, 2Co) folded
+    cotangent, k (3,3,3,32,Co) -> folded dx (N, D, H, W*C/128, 128)."""
+    n, D2, H2, UF, L = gf.shape
+    C, Co = k.shape[3], k.shape[4]
+    assert C == 32 and L == 2 * Co, (gf.shape, k.shape)
+    gp = jnp.pad(gf, ((0, 0), (0, 1), (0, 1), (0, 0), (0, 0)))
+    km = _dx_kernel_matrix(k).astype(gf.dtype)
+    if hto is None:
+        hto = 32
+        while hto > 1:
+            if H2 % hto == 0:
+                est = (
+                    4 * (hto + 1) * UF * L * gf.dtype.itemsize   # ring
+                    + hto * UF * 8 * Co * gf.dtype.itemsize      # patches
+                    + 4 * hto * UF * 128 * 4                     # products
+                    + 2 * hto * UF * 4 * 128 * gf.dtype.itemsize # out blocks
+                )
+                if est * 2 <= 14_000_000:
+                    break
+            hto //= 2
+    out = pl.pallas_call(
+        functools.partial(_dx_kernel, hto=hto, UF=UF, C=C, Co=Co, D2=D2),
+        grid=(n, H2 // hto, D2),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, 2, hto, 2, UF, 4 * C),
+            lambda n, j, zo: (n, zo, 0, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, D2, 2, H2, 2, UF, 4 * C),
+                                       gf.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((4, hto + 1, UF, L), gf.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (9 * 2 * Co + 9 * Co) * n * D2 * H2 * UF * 128,
+            bytes_accessed=(n * D2 * H2 * UF * L
+                            + n * D2 * H2 * UF * 4 * 128) * gf.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(gp, km)
+    return out.reshape(n, 2 * D2, 2 * H2, UF, 128)

@@ -191,12 +191,21 @@ def _s2f_bwd(C, W, res, g):
         from .conv3d_s2_pallas import conv3d_s2_dk_pallas_padded
 
         # dx IS the k3/s2 transposed conv of the cotangent with the
-        # forward kernel (exact identity, tests/test_ops.py); runs
-        # unfolded through the parity-folded deconv GEMM for now
-        gu = unfold(g, Co)
-        dxu = _deconv_parity(gu, k) if config.deconv3d_mode() == "parity" \
-            else _deconv_native(gu, k)
-        dx = fold(dxu)
+        # forward kernel (exact identity, tests/test_ops.py).  For the
+        # C=32 shapes (PSMNet conv1) the folded Pallas dx kernel reads
+        # the folded cotangent and writes the folded dx directly — the
+        # unfold -> parity deconv -> fold route paid ~10 ms of layout
+        # copies per call at b4 (r5 trace)
+        from .conv3d_s2_pallas import (conv3d_s2_dx_pallas_folded,
+                                       s2_dx_pallas_ok)
+
+        if s2_dx_pallas_ok((n, D, H, W, C), k.shape, xf.dtype.itemsize):
+            dx = conv3d_s2_dx_pallas_folded(g, k)
+        else:
+            gu = unfold(g, Co)
+            dxu = _deconv_parity(gu, k) if config.deconv3d_mode() == "parity" \
+                else _deconv_native(gu, k)
+            dx = fold(dxu)
         xp = _pad_dh(xf)
         gf = g.reshape(n, D // 2, H // 2, W // 4, 2 * Co)
         dk = conv3d_s2_dk_pallas_padded(xp, gf, k.shape, W)

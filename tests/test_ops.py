@@ -740,3 +740,37 @@ def test_conv3d_cin1_stencil_exact(rng):
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_s2_dx_pallas_folded_exact(rng):
+    """The folded Pallas dx kernel must equal the vjp of the reference
+    stride-2 conv, including the D/H tail planes and the side (uo+1)
+    column, in interpret mode on CPU."""
+    from dsmnet_tpu.ops.conv3d_s2_pallas import (
+        conv3d_s2_dx_pallas_folded,
+        s2_dx_pallas_ok,
+    )
+    from dsmnet_tpu.ops.folded import fold, unfold
+
+    n, D, H, W, C, Co = 1, 6, 8, 32, 32, 16
+    assert s2_dx_pallas_ok((n, D, H, W, C), (3, 3, 3, C, Co),
+                           check_tiling=False)
+    x = jnp.asarray(rng.randn(n, D, H, W, C).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, C, Co).astype(np.float32) * 0.1)
+    g = jnp.asarray(
+        rng.randn(n, D // 2, H // 2, W // 2, Co).astype(np.float32))
+
+    def f(a):
+        dn = jax.lax.conv_dimension_numbers(
+            a.shape, k.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        return jax.lax.conv_general_dilated(
+            a, k, (2, 2, 2), [(1, 1)] * 3, dimension_numbers=dn)
+
+    _, vjp = jax.vjp(f, x)
+    ref = vjp(g)[0]
+
+    gf = g.reshape(n, D // 2, H // 2, W // 4, 2 * Co)
+    dxf = conv3d_s2_dx_pallas_folded(gf, k, interpret=True)
+    dx = unfold(dxf, C)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
