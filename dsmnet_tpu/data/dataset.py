@@ -108,13 +108,17 @@ class SyntheticStereoDataset:
     """
 
     def __init__(self, n=32, hw=(384, 768), max_disp=48, transform=None, seed=0,
-                 with_gt=True):
+                 with_gt=True, tex_scale=4):
         self.n = n
         self.hw = hw
         self.max_disp = max_disp
         self.transform = transform
         self.seed = seed
         self.with_gt = with_gt
+        # texture feature wavelength ~2*tex_scale px: the photometric
+        # basin of attraction is about half a wavelength, so GT-free
+        # photometric training needs tex_scale >= max disparity
+        self.tex_scale = tex_scale
         # multihost.shard_dataset_for_host restricts path-less datasets by
         # index striding: host i of p sees samples i, i+p, i+2p, ...
         self.index_offset = 0
@@ -134,7 +138,8 @@ class SyntheticStereoDataset:
             (1, w), np.float32
         )
         pad = int(np.ceil(self.max_disp)) + 1
-        tex = rng.rand(h // 4 + 2, (w + pad) // 4 + 2, 3).astype(np.float32)
+        ts = self.tex_scale
+        tex = rng.rand(h // ts + 2, (w + pad) // ts + 2, 3).astype(np.float32)
         import cv2
 
         tex = cv2.resize(tex, (w + pad, h), interpolation=cv2.INTER_CUBIC)

@@ -22,8 +22,8 @@ import jax.numpy as jnp
 
 from ..ops import concat_cost_volume, soft_argmin
 from ..parallel.context import shard_activation
-from .layers import (ConvBN, DeconvBN, FoldedConvBN3d, crop_add,
-                     res_stack_gc, siamese)
+from .layers import (ConvBN, DeconvBN, FoldedConvBN3d, FoldedDeconvBN3d,
+                     crop_add, res_stack_gc, siamese)
 
 __all__ = ["GCNet", "GCNetLR"]
 
@@ -101,6 +101,13 @@ class _Feature3D(nn.Module):
         )
 
         def up(f, name, y, Ci):
+            if Ci == 64 and f == 32:
+                # folded end-to-end (ops/folded.folded_deconv3d_k3s2):
+                # no unfold/parity/fold copies for the full-volume l36
+                W_in = y.shape[3] * 128 // Ci
+                FD = nn.remat(FoldedDeconvBN3d, static_argnums=(2,)) \
+                    if self.remat else FoldedDeconvBN3d
+                return FD(f, Ci, W_in, name=name)(y, train)
             yu = unfold(y, Ci)
             yu = DB(f, 3, 2, dims=3, bn=True, name=name)(yu, train)
             return fold(yu)

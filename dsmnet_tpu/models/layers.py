@@ -256,6 +256,73 @@ class _FastDeconv3d(nn.Module):
         return y
 
 
+class _FastDeconv3dFolded(nn.Module):
+    """Drop-in for _FastDeconv3d on the FOLDED volume: same param tree
+    (kernel (3,3,3,features,Cin) under this module) but input and output
+    stay in the dense-lane folded form (ops/folded.py
+    folded_deconv3d_k3s2 — the stride-2 Pallas kernel trio under
+    transposition for the 64->32 up-deconvs)."""
+
+    features: int
+    Cin: int
+    W_in: int
+    use_bias: bool
+    kernel_init: Callable
+    bias_init: Callable
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, xf):
+        from ..ops.folded import folded_deconv3d_k3s2
+
+        kshape = (3, 3, 3, self.features, self.Cin)
+        kern = self.param("kernel", self.kernel_init, kshape)
+        dt = self.dtype
+        if dt is not None:
+            xf = xf.astype(dt)
+            kern = kern.astype(dt)
+        y = folded_deconv3d_k3s2(xf, kern, self.Cin, self.W_in)
+        if self.use_bias:
+            b = self.param("bias", self.bias_init, (self.features,))
+            r = 128 // self.features if self.features <= 128 else 1
+            bl = jnp.tile(b, max(r, 1))[:128] if self.features < 128 \
+                else b[:128]
+            y = y + (bl.astype(dt) if dt is not None else bl)
+        return y
+
+
+class FoldedDeconvBN3d(nn.Module):
+    """DeconvBN(dims=3, k=3, s=2) on the FOLDED volume — identical param
+    tree ({name}/ConvTranspose_0/{kernel[,bias]} + {name}/BatchNorm_0)
+    but no unfold/fold round-trip (ops/folded.folded_deconv3d_k3s2)."""
+
+    features: int
+    Cin: int
+    W_in: int
+    bn: bool = True
+    relu: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, xf, train: bool = True):
+        from ..ops.folded import folded_batchnorm_view
+
+        fan_in = 27.0 * self.Cin
+        dt = default_dtype()
+        y = _FastDeconv3dFolded(
+            self.features, self.Cin, self.W_in, self.use_bias,
+            _fanin_uniform_kernel(fan_in), _fanin_uniform_bias(fan_in),
+            dt, name="ConvTranspose_0",
+        )(xf)
+        if self.bn:
+            v = folded_batchnorm_view(y, self.features)
+            v = make_bn(train)(v)
+            y = v.reshape(y.shape)
+        if self.relu:
+            y = nn.relu(y)
+        return y
+
+
 class _FoldedConv3d(nn.Module):
     """Kernel-param holder for the folded-volume convs — same param
     structure (kernel/bias under this module) as _FastConv3d/

@@ -33,6 +33,7 @@ from .layers import (
     make_bn,
     ResBlockPSM,
     _FastDeconv3d,
+    _FastDeconv3dFolded,
     conv_kernel_init,
     crop_add,
     default_dtype,
@@ -143,20 +144,33 @@ class _Hourglass(nn.Module):
         out = fc(p * 2, p * 2, W // 2, 2, True, "conv3")(pre, train)
         out = fc(p * 2, p * 2, W // 4, 1, True, "conv4")(out, train)
 
-        def up(f, name, y, Ci):
-            yu = unfold(y, Ci)
-            yu = _FastDeconv3d(
-                f, use_bias=False, kernel_init=torch_fanin_uniform,
-                bias_init=torch_fanin_uniform, dtype=default_dtype(), name=name,
-            )(yu)
-            yf = fold(yu)
+        def up(f, name, y, Ci, W_in):
+            if Ci == 64 and f == 32:
+                # stays folded end-to-end (folded_deconv3d_k3s2): the
+                # unfold/parity/fold round-trip of the full-volume
+                # deconv6 was the largest remaining copy cluster in the
+                # r5 trace (~23 ms/b4)
+                yf = _FastDeconv3dFolded(
+                    f, Ci, W_in, use_bias=False,
+                    kernel_init=torch_fanin_uniform,
+                    bias_init=torch_fanin_uniform, dtype=default_dtype(),
+                    name=name,
+                )(y)
+            else:
+                yu = unfold(y, Ci)
+                yu = _FastDeconv3d(
+                    f, use_bias=False, kernel_init=torch_fanin_uniform,
+                    bias_init=torch_fanin_uniform, dtype=default_dtype(),
+                    name=name,
+                )(yu)
+                yf = fold(yu)
             v = folded_batchnorm_view(yf, f)
             v = make_bn(train, name=f"{name}_bn")(v)
             return v.reshape(yf.shape)
 
-        post = up(p * 2, "conv5", out, p * 2)
+        post = up(p * 2, "conv5", out, p * 2, W // 4)
         post = nn.relu(post + (presqu if presqu is not None else pre))
-        out = up(p, "conv6", post, p * 2)
+        out = up(p, "conv6", post, p * 2, W // 2)
         return out, pre, post
 
 

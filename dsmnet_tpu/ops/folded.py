@@ -36,6 +36,7 @@ __all__ = [
     "unfold",
     "folded_conv3d_same",
     "folded_conv3d_s2",
+    "folded_deconv3d_k3s2",
     "folded_batchnorm_view",
 ]
 
@@ -217,3 +218,84 @@ def _s2f_bwd(C, W, res, g):
 
 
 folded_conv3d_s2.defvjp(_s2f_fwd, _s2f_bwd)
+
+
+# ------------------------------------------------------- folded deconv k3s2
+#
+# The hourglass/GCNet up-path deconvs previously round-tripped through
+# the unfolded form (unfold -> parity deconv -> fold); for the 64 -> 32
+# full-volume deconv6 that boundary is the r5 trace's largest remaining
+# copy cluster (~23 ms/b4 of parity views).  The three stride-2 Pallas
+# kernels close under transposition, so the folded deconv needs no new
+# kernel:
+#     deconv fwd      == conv3d_s2_dx_pallas_folded (dx of the s2 conv)
+#     deconv d(input) == conv3d_s2_fwd_pallas_padded (the s2 conv)
+#     deconv dW       == conv3d_s2_dk_pallas_padded (roles swapped)
+# Gate: Cin == 64 (so the folded input IS the kernel's (D/2, H/2,
+# W_out/4, 2*64) cotangent layout) and Cout == 32 (128-lane folded
+# output groups), i.e. exactly conv6 / l36.
+
+
+def _fdc_eligible(xf, kp, W_in):
+    from .conv3d_s2_pallas import s2_dx_pallas_ok, s2_pallas_ok
+
+    n, D2, H2, _, L = xf.shape
+    Cout, Cin = kp.shape[3], kp.shape[4]
+    if not (Cin == 64 and L == 128 and Cout == 32):
+        return False
+    out_shape = (n, 2 * D2, 2 * H2, 2 * W_in, Cout)
+    return (
+        _use_s2_pallas()
+        and s2_dx_pallas_ok(out_shape, (3, 3, 3, Cout, Cin),
+                            xf.dtype.itemsize)
+        and s2_pallas_ok(out_shape, (3, 3, 3, Cout, Cin),
+                         xf.dtype.itemsize)
+    )
+
+
+def _fdc_primal(xf, kp, Cin: int, W_in: int):
+    from .conv3d import _deconv_native, _deconv_parity
+    from .conv3d_s2_pallas import conv3d_s2_dx_pallas_folded
+
+    if _fdc_eligible(xf, kp, W_in):
+        return conv3d_s2_dx_pallas_folded(xf, kp)
+    from . import config
+
+    xu = unfold(xf, Cin)
+    yu = _deconv_parity(xu, kp) if config.deconv3d_mode() == "parity" \
+        else _deconv_native(xu, kp)
+    return fold(yu)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def folded_deconv3d_k3s2(xf, kp, Cin: int, W_in: int):
+    """ConvTranspose3d k=3 s=2 p=1 op=1 on the folded volume.
+
+    xf (N, D2, H2, W_in*Cin/128, 128); kp (3,3,3,Cout,Cin) — the
+    _FastDeconv3d parameter layout; returns the folded
+    (N, 2*D2, 2*H2, 2*W_in*Cout/128, 128)."""
+    return _fdc_primal(xf, kp, Cin, W_in)
+
+
+def _fdc_fwd(xf, kp, Cin, W_in):
+    return folded_deconv3d_k3s2(xf, kp, Cin, W_in), (xf, kp)
+
+
+def _fdc_bwd(Cin, W_in, res, g):
+    xf, kp = res
+    if _fdc_eligible(xf, kp, W_in):
+        from .conv3d_s2_pallas import (conv3d_s2_dk_pallas_padded,
+                                       conv3d_s2_fwd_pallas_padded)
+
+        Cout = kp.shape[3]
+        W_out = 2 * W_in
+        gp = _pad_dh(g)
+        dxf = conv3d_s2_fwd_pallas_padded(gp, kp, W_out)
+        dk = conv3d_s2_dk_pallas_padded(
+            gp, xf, (3, 3, 3, Cout, Cin), W_out)
+        return dxf, dk.astype(kp.dtype)
+    _, vjp = jax.vjp(lambda a, b: _fdc_primal(a, b, Cin, W_in), xf, kp)
+    return vjp(g)
+
+
+folded_deconv3d_k3s2.defvjp(_fdc_fwd, _fdc_bwd)

@@ -34,15 +34,22 @@ from dsmnet_tpu.train import (
 
 def run(net: str, steps: int, target: float, hw, maxd: int, lr: float,
         batch: int, loss_name: str, eval_every: int = 25,
-        curriculum_steps: int = 0):
+        curriculum_steps: int = 0, tex_scale: int = 16):
     h, w = hw
+    # tex_scale 16: photometric attraction basin ~ half the texture
+    # wavelength; the default fine texture (tex_scale 4) leaves GT
+    # disparities of 8-11 px OUTSIDE the basin (measured: a barrier at
+    # 0.5*GT), which no optimizer crosses — with 16 the loss is
+    # monotone from 0 to GT and the task is well-posed GT-free
     # train WITHOUT ground truth — the loss sees images only
     train_ds = SyntheticStereoDataset(n=16, hw=hw, max_disp=maxd // 2,
                                       transform=selfsup_eval_transform(),
-                                      seed=0, with_gt=False)
+                                      seed=0, with_gt=False,
+                                      tex_scale=tex_scale)
     # held-out val WITH GT for the EPE measurement
     val_ds = SyntheticStereoDataset(n=4, hw=hw, max_disp=maxd // 2,
-                                    transform=selfsup_eval_transform(), seed=7)
+                                    transform=selfsup_eval_transform(), seed=7,
+                                    tex_scale=tex_scale)
     loader = BatchLoader(train_ds, batch_size=batch, shuffle=True,
                          num_workers=2, seed=0)
     val_batches = [jnp.asarray(b) for b, _ in

@@ -774,3 +774,42 @@ def test_s2_dx_pallas_folded_exact(rng):
     dx = unfold(dxf, C)
     np.testing.assert_allclose(np.asarray(dx), np.asarray(ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_folded_deconv_transposition_identities(rng):
+    """folded_deconv3d_k3s2's Pallas route reuses the stride-2 kernel
+    trio under transposition; verify all three roles against the XLA
+    parity deconv in interpret mode: fwd == deconv, d(input) == the s2
+    conv of the cotangent, dW == the swapped-roles dK."""
+    from dsmnet_tpu.ops.conv3d import _deconv_parity
+    from dsmnet_tpu.ops.conv3d_s2_pallas import (
+        conv3d_s2_dk_pallas_padded,
+        conv3d_s2_dx_pallas_folded,
+        conv3d_s2_fwd_pallas_padded,
+    )
+    from dsmnet_tpu.ops.folded import _pad_dh, fold, unfold
+
+    n, D2, H2, W_in, Cin, Cout = 1, 3, 4, 32, 64, 32
+    W_out = 2 * W_in
+    x = jnp.asarray(rng.randn(n, D2, H2, W_in, Cin).astype(np.float32))
+    kp = jnp.asarray(rng.randn(3, 3, 3, Cout, Cin).astype(np.float32) * 0.1)
+    xf = fold(x)
+
+    ref, vjp = jax.vjp(lambda a, b: _deconv_parity(a, b), x, kp)
+
+    out = unfold(conv3d_s2_dx_pallas_folded(xf, kp, interpret=True), Cout)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+    g = jnp.asarray(rng.randn(*ref.shape).astype(np.float32))
+    dx_ref, dk_ref = vjp(g)
+    gp = _pad_dh(fold(g))
+    dinp = conv3d_s2_fwd_pallas_padded(gp, kp, W_out, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(unfold(dinp.reshape(n, D2, H2, W_in * Cin // 128, 128),
+                          Cin)),
+        np.asarray(dx_ref), atol=1e-4, rtol=1e-4)
+    dk = conv3d_s2_dk_pallas_padded(gp, xf, (3, 3, 3, Cout, Cin), W_out,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                               atol=1e-3, rtol=1e-3)
