@@ -56,10 +56,49 @@ def imwarp(
         px = (w0 - 1.0 - x0) - jj * scale_factor + d
     else:
         px = x0 + jj * scale_factor - d
-    py = jnp.broadcast_to(y0 + ii * scale_factor, d.shape)
 
     src = im_src + jnp.asarray(eps, im_src.dtype)
+
+    # Horizontal fast path: at every loss call site the crop origin and
+    # scale are integers (left_top = (nedge, nedge), scale = 2^level),
+    # so the vertical sample coordinate y0 + i*s is EXACT — the source
+    # rows are a static strided slice and the 4-tap bilinear gather
+    # collapses to a 2-tap horizontal one.  Warp gathers are the
+    # self-supervised step's largest cost (~32% of the b1 step, r5
+    # trace); this halves them.  Bit-identical to the generic path
+    # (there wy == 0 and the bottom taps contribute exactly zero).
+    s_i = int(scale_factor) if float(scale_factor).is_integer() else None
+    y0_i = int(y0) if float(y0).is_integer() else None
+    if (
+        s_i is not None and y0_i is not None
+        and 0 <= y0_i and y0_i + s_i * (h - 1) < h0
+    ):
+        rows = src[:, y0_i : y0_i + s_i * h : s_i]  # (N, H, W0, C)
+        return _bilinear_gather_zero_pad_h(rows, px)
+
+    py = jnp.broadcast_to(y0 + ii * scale_factor, d.shape)
     return _bilinear_gather_zero_pad(src, px, py)
+
+
+def _bilinear_gather_zero_pad_h(rows, px):
+    """2-tap horizontal bilinear sample: rows (N,H,W0,C) are already the
+    correct source rows; px (N,H,W) float column coords; out-of-range
+    taps contribute zero (grid_sample 'zeros' semantics)."""
+    n, h, w0, c = rows.shape
+
+    x0f = jnp.floor(px)
+    wx = (px - x0f).astype(rows.dtype)[..., None]
+    x0 = x0f.astype(jnp.int32)
+
+    def tap(xi):
+        valid = ((xi >= 0) & (xi <= w0 - 1))[..., None].astype(rows.dtype)
+        xc = jnp.clip(xi, 0, w0 - 1)
+        vals = jnp.take_along_axis(rows, xc[..., None], axis=2)
+        return vals * valid
+
+    v0 = tap(x0)
+    v1 = tap(x0 + 1)
+    return v0 * (1.0 - wx) + v1 * wx
 
 
 def _bilinear_gather_zero_pad(

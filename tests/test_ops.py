@@ -813,3 +813,30 @@ def test_folded_deconv_transposition_identities(rng):
                                     interpret=True)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_imwarp_horizontal_fast_path_matches_generic(rng):
+    """Integer scale + integer origin must route through the 2-tap
+    horizontal path and equal the generic 4-tap gather exactly."""
+    from dsmnet_tpu.ops.warp import _bilinear_gather_zero_pad, imwarp
+
+    src = jnp.asarray(rng.rand(2, 40, 56, 3).astype(np.float32))
+    for scale, lt, h, w in ((1, (8, 8), 24, 40), (2, (4, 4), 16, 24),
+                            (1, (0, 0), 40, 56)):
+        disp = jnp.asarray((rng.rand(2, h, w, 1) * 9 - 2).astype(np.float32))
+        out = imwarp(src, disp, False, lt, float(scale))
+        # generic reference: force the slow path with a float origin
+        # epsilon too small to change any sample
+        jj = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+        ii = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+        px = lt[0] + jj * scale - disp[..., 0]
+        py = jnp.broadcast_to(lt[1] + ii * scale + 0.0, px.shape)
+        ref = _bilinear_gather_zero_pad(src + 5.5e-5, px, py)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)
+        # fliplr route too
+        out_f = imwarp(src, disp, True, lt, float(scale))
+        pxf = (src.shape[2] - 1.0 - lt[0]) - jj * scale + disp[..., 0]
+        ref_f = _bilinear_gather_zero_pad(src + 5.5e-5, pxf, py)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref_f),
+                                   atol=1e-6)
