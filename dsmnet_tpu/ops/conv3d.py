@@ -151,10 +151,36 @@ def _conv_cin1(x, k):
     return y
 
 
+def _conv_cin1_gemm(x, k):
+    """Stride-1 SAME conv for ONE input channel as tap-im2col + GEMM:
+    stack the 27 shifted single-channel views on lanes, then one
+    (M, 27) @ (27, Co) dot.  Inside the full train graph XLA lowers the
+    native Cin=1 conv as a ~8 ms loop fusion (r5 trace, x3 classifier
+    dx at b4) even though it emits a 2 ms conv standalone; the explicit
+    GEMM pins the contraction to the MXU and the patch build to plain
+    bandwidth."""
+    kd, kh, kw, _, co = k.shape
+    n, D, H, W, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (kd // 2,) * 2, (kh // 2,) * 2,
+                     (kw // 2,) * 2, (0, 0)))
+    taps = [
+        lax.dynamic_slice(xp, (0, dd, dh, dw, 0), (n, D, H, W, 1))
+        for dd in range(kd) for dh in range(kh) for dw in range(kw)
+    ]
+    P = jnp.concatenate(taps, axis=-1)                    # (n,D,H,W,taps)
+    km = k.reshape(kd * kh * kw, co)
+    return lax.dot_general(P, km, (((4,), (0,)), ((), ())),
+                           preferred_element_type=jnp.float32
+                           ).astype(x.dtype)
+
+
 def _conv_fast(x, k):
     """Stride-1 SAME conv — formulation picked by ops.config.conv3d_mode()."""
     from . import config
 
+    if x.shape[-1] == 1 and k.shape[0] * k.shape[1] * k.shape[2] <= 27 \
+            and k.shape[-1] >= 8:
+        return _conv_cin1_gemm(x, k)
     if k.shape[-1] < 8 and k.shape[-1] * k.shape[0] * k.shape[1] * k.shape[2] <= 32:
         return _conv_tapfold(x, k)
     mode = config.conv3d_mode()

@@ -840,3 +840,26 @@ def test_imwarp_horizontal_fast_path_matches_generic(rng):
         ref_f = _bilinear_gather_zero_pad(src + 5.5e-5, pxf, py)
         np.testing.assert_allclose(np.asarray(out_f), np.asarray(ref_f),
                                    atol=1e-6)
+
+
+def test_conv3d_cin1_gemm_exact(rng):
+    """The Cin=1 im2col-GEMM path (classifier-dx shape) equals the
+    native conv, forward and as the dx of a Co=1 conv."""
+    from dsmnet_tpu.ops.conv3d import _conv, _conv_cin1_gemm, conv3d_same
+
+    x1 = jnp.asarray(rng.randn(2, 6, 8, 10, 1).astype(np.float32))
+    k1 = jnp.asarray(rng.randn(3, 3, 3, 1, 32).astype(np.float32) * 0.1)
+    ref = _conv(x1, k1, [(1, 1)] * 3)
+    np.testing.assert_allclose(np.asarray(_conv_cin1_gemm(x1, k1)),
+                               np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    x = jnp.asarray(rng.randn(1, 6, 8, 10, 32).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, 32, 1).astype(np.float32) * 0.1)
+    ref_conv = lambda a, b: _conv(a, b, [(1, 1)] * 3)
+    g0 = jax.grad(lambda a, b: jnp.sum(ref_conv(a, b) ** 2),
+                  argnums=(0, 1))(x, k)
+    g1 = jax.grad(lambda a, b: jnp.sum(conv3d_same(a, b) ** 2),
+                  argnums=(0, 1))(x, k)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
