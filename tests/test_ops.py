@@ -863,3 +863,41 @@ def test_conv3d_cin1_gemm_exact(rng):
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_folded_conv3d_to1_exact(rng):
+    """The folded Cout=1 classifier head (lane GEMM + shifted adds)
+    equals unfold -> native conv, forward and full gradients."""
+    from dsmnet_tpu.ops.conv3d import _conv
+    from dsmnet_tpu.ops.folded import fold, folded_conv3d_to1, unfold
+
+    n, D, H, W, C = 2, 6, 8, 16, 32
+    x = jnp.asarray(rng.randn(n, D, H, W, C).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 3, C, 1).astype(np.float32) * 0.1)
+    xf = fold(x)
+
+    ref = _conv(x, k, [(1, 1)] * 3)
+    out = folded_conv3d_to1(xf, k, C, W)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    g0 = jax.grad(
+        lambda a, b: jnp.sum(_conv(unfold(a, C), b, [(1, 1)] * 3) ** 2),
+        argnums=(0, 1),
+    )(xf, k)
+    g1 = jax.grad(
+        lambda a, b: jnp.sum(folded_conv3d_to1(a, b, C, W) ** 2),
+        argnums=(0, 1),
+    )(xf, k)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+    # C=64 (r=2) shape family as used by GCNet-width heads
+    C2, W2 = 64, 8
+    x2 = jnp.asarray(rng.randn(1, 4, 6, W2, C2).astype(np.float32))
+    k2 = jnp.asarray(rng.randn(3, 3, 3, C2, 1).astype(np.float32) * 0.1)
+    ref2 = _conv(x2, k2, [(1, 1)] * 3)
+    out2 = folded_conv3d_to1(fold(x2), k2, C2, W2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=1e-5, rtol=1e-5)
