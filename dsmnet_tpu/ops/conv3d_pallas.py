@@ -78,31 +78,105 @@ def _pick_ht(H, UF, C, Co, r, itemsize, n_slabs=4, gl=0):
     return 1
 
 
-def _fwd_kernel(xp_ref, km_ref, out_ref, ring, sems, *, ht, UF, r, C, Co, D):
+def _slab_io(x_ref, ring, sems_m, sems_t, sems_b, n, j, d, h0,
+             *, ht, UF, r, C, D, J):
+    """Boundary-aware slab fill for the UNPADDED folded input.
+
+    Slab rows 0..ht+1 map to input h0-1..h0+ht; pad index p maps to
+    input depth p-1.  Out-of-range depth slabs are memset to zero; the
+    top/bottom halo rows are DMA'd only when the neighbour tile exists
+    (the j==0 / j==J-1 halo rows are zeroed once at d==0 and no DMA
+    ever touches them).  This replaces the caller-side jnp.pad, which
+    materialized a full HBM copy of the volume per conv (r5 trace:
+    ~18 ms/step of pads + their layout copies at b4)."""
+
+    def mid(p, slot):
+        return pltpu.make_async_copy(
+            x_ref.at[n, p - 1, pl.ds(h0, ht), :, :],
+            ring.at[slot, pl.ds(1, ht)], sems_m.at[slot],
+        )
+
+    def top(p, slot):
+        return pltpu.make_async_copy(
+            x_ref.at[n, p - 1, pl.ds(h0 - 1, 1), :, :],
+            ring.at[slot, pl.ds(0, 1)], sems_t.at[slot],
+        )
+
+    def bot(p, slot):
+        return pltpu.make_async_copy(
+            x_ref.at[n, p - 1, pl.ds(h0 + ht, 1), :, :],
+            ring.at[slot, pl.ds(ht + 1, 1)], sems_b.at[slot],
+        )
+
+    def start(p, slot):
+        valid = (p >= 1) & (p <= D)
+
+        @pl.when(valid)
+        def _():
+            mid(p, slot).start()
+
+            @pl.when(j > 0)
+            def _():
+                top(p, slot).start()
+
+            @pl.when(j < J - 1)
+            def _():
+                bot(p, slot).start()
+
+        @pl.when(jnp.logical_not(valid))
+        def _():
+            ring[slot] = jnp.zeros((ht + 2, UF, r * C), ring.dtype)
+
+    def wait(p, slot):
+        valid = (p >= 1) & (p <= D)
+
+        @pl.when(valid)
+        def _():
+            mid(p, slot).wait()
+
+            @pl.when(j > 0)
+            def _():
+                top(p, slot).wait()
+
+            @pl.when(j < J - 1)
+            def _():
+                bot(p, slot).wait()
+
+    # zero the halo rows no DMA will ever write for this (n, j) pass
+    @pl.when((d == 0) & (j == 0))
+    def _():
+        for s in range(4):
+            ring[s, 0] = jnp.zeros((UF, r * C), ring.dtype)
+
+    @pl.when((d == 0) & (j == J - 1))
+    def _():
+        for s in range(4):
+            ring[s, ht + 1] = jnp.zeros((UF, r * C), ring.dtype)
+
+    @pl.when(d == 0)
+    def _():
+        start(0, 0)
+        start(1, 1)
+        start(2, 2)
+        wait(0, 0)
+        wait(1, 1)
+
+    @pl.when(d + 3 < D + 2)
+    def _():
+        start(d + 3, (d + 3) % 4)
+
+    wait(d + 2, (d + 2) % 4)
+
+
+def _fwd_kernel(x_ref, km_ref, out_ref, ring, sems_m, sems_t, sems_b,
+                *, ht, UF, r, C, Co, D, J):
     n = pl.program_id(0)
     j = pl.program_id(1)
     d = pl.program_id(2)
     h0 = j * ht
 
-    def dma(pad_idx, slot):
-        return pltpu.make_async_copy(
-            xp_ref.at[n, pad_idx, pl.ds(h0, ht + 2), :, :],
-            ring.at[slot], sems.at[slot],
-        )
-
-    @pl.when(d == 0)
-    def _():
-        dma(0, 0).start()
-        dma(1, 1).start()
-        dma(2, 2).start()
-        dma(0, 0).wait()
-        dma(1, 1).wait()
-
-    @pl.when(d + 3 < D + 2)
-    def _():
-        dma(d + 3, (d + 3) % 4).start()
-
-    dma(d + 2, (d + 2) % 4).wait()
+    _slab_io(x_ref, ring, sems_m, sems_t, sems_b, n, j, d, h0,
+             ht=ht, UF=UF, r=r, C=C, D=D, J=J)
 
     M = ht * UF
     merged = []
@@ -138,28 +212,28 @@ def _fwd_kernel(xp_ref, km_ref, out_ref, ring, sems, *, ht, UF, r, C, Co, D):
     out_ref[0, 0] = acc.astype(out_ref.dtype).reshape(ht, UF, r * Co)
 
 
-def conv3d_fwd_pallas_padded(xp, k, W: int, ht: int | None = None,
+def conv3d_fwd_pallas_folded(xf, k, W: int, ht: int | None = None,
                              interpret: bool = False):
-    """Folded-core stride-1 conv: xp is the already D/H-padded FOLDED
-    view (N, D+2, H+2, W/r, 128) with r = 128//C; returns the folded
-    output (N, D, H, W/r, r*Co).  Padding/folding on dense-lane arrays
-    is what callers on the folded pathway provide for free — the
-    unfolded wrapper's jnp.pad of a (..., W, C<128) array materializes
-    a 128-lane-padded HBM buffer (4x for C=32; ~0.7 ms at the b1
-    volume, r4 trace)."""
-    n, Dp, Hp, UF, L = xp.shape
-    D, H = Dp - 2, Hp - 2
+    """Folded-core stride-1 conv on the UNPADDED folded view
+    (N, D, H, W/r, 128) with r = 128//C; returns the folded output
+    (N, D, H, W/r, r*Co).  D/H boundaries are handled inside the kernel
+    (predicated halo DMAs + edge memsets, `_slab_io`) — callers no
+    longer materialize a padded HBM copy of the volume per conv (the
+    pads + their layout copies cost ~18 ms/step at b4, r5 trace)."""
+    n, D, H, UF, L = xf.shape
     C = k.shape[3]
     Co = k.shape[-1]
     assert k.shape[:3] == (3, 3, 3)
     r = _fold(C)
-    assert r * C == 128 == L and UF * r == W, (xp.shape, k.shape, W)
+    assert r * C == 128 == L and UF * r == W, (xf.shape, k.shape, W)
     if ht is None:
-        ht = _pick_ht(H, UF, C, Co, r, xp.dtype.itemsize)
-    km = k.transpose(0, 1, 3, 2, 4).reshape(9 * C, 3 * Co).astype(xp.dtype)
-    grid = (n, H // ht, D)
+        ht = _pick_ht(H, UF, C, Co, r, xf.dtype.itemsize)
+    km = k.transpose(0, 1, 3, 2, 4).reshape(9 * C, 3 * Co).astype(xf.dtype)
+    J = H // ht
+    grid = (n, J, D)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, ht=ht, UF=UF, r=r, C=C, Co=Co, D=D),
+        functools.partial(_fwd_kernel, ht=ht, UF=UF, r=r, C=C, Co=Co, D=D,
+                          J=J),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -169,18 +243,20 @@ def conv3d_fwd_pallas_padded(xp, k, W: int, ht: int | None = None,
             (1, 1, ht, UF, r * Co), lambda n, j, d: (n, d, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, D, H, UF, r * Co), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, D, H, UF, r * Co), xf.dtype),
         scratch_shapes=[
-            pltpu.VMEM((4, ht + 2, UF, r * C), xp.dtype),
+            pltpu.VMEM((4, ht + 2, UF, r * C), xf.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 27 * C * Co * n * D * H * W,
-            bytes_accessed=(n * D * H * W * (C + Co)) * xp.dtype.itemsize,
+            bytes_accessed=(n * D * H * W * (C + Co)) * xf.dtype.itemsize,
             transcendentals=0,
         ),
-    )(xp, km)
+    )(xf, km)
 
 
 @functools.partial(jax.jit, static_argnames=("ht", "interpret"))
@@ -195,43 +271,26 @@ def conv3d_fwd_pallas(x, k, ht: int | None = None, interpret: bool = False):
     r = _fold(C)
     assert W % r == 0 and r * C == 128, (W, C)
     UF = W // r
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
-    xp = xp.reshape(n, D + 2, H + 2, UF, r * C)
-    out = conv3d_fwd_pallas_padded(xp, k, W, ht=ht, interpret=interpret)
+    xf = x.reshape(n, D, H, UF, r * C)
+    out = conv3d_fwd_pallas_folded(xf, k, W, ht=ht, interpret=interpret)
     return out.reshape(n, D, H, W, Co)
 
 
-def _dk_kernel(xp_ref, ge_ref, dk_ref, ring, gslab, sems, gsem,
-               *, ht, UF, r, C, Co, D, GL):
+def _dk_kernel(x_ref, ge_ref, dk_ref, ring, gslab, sems_m, sems_t, sems_b,
+               gsem, *, ht, UF, r, C, Co, D, J, GL):
     n = pl.program_id(0)
     j = pl.program_id(1)
     d = pl.program_id(2)
     h0 = j * ht
-
-    def dma(pad_idx, slot):
-        return pltpu.make_async_copy(
-            xp_ref.at[n, pad_idx, pl.ds(h0, ht + 2), :, :],
-            ring.at[slot], sems.at[slot],
-        )
 
     gcp = pltpu.make_async_copy(
         ge_ref.at[n, d, pl.ds(h0, ht), :, :], gslab, gsem
     )
     gcp.start()
 
-    @pl.when(d == 0)
-    def _():
-        dma(0, 0).start()
-        dma(1, 1).start()
-        dma(2, 2).start()
-        dma(0, 0).wait()
-        dma(1, 1).wait()
+    _slab_io(x_ref, ring, sems_m, sems_t, sems_b, n, j, d, h0,
+             ht=ht, UF=UF, r=r, C=C, D=D, J=J)
 
-    @pl.when(d + 3 < D + 2)
-    def _():
-        dma(d + 3, (d + 3) % 4).start()
-
-    dma(d + 2, (d + 2) % 4).wait()
     gcp.wait()
 
     M = ht * UF
@@ -273,18 +332,18 @@ def _slotted_from_folded(gf, r, Co, UF):
     return jnp.concatenate([prev, gf, nxt], axis=-1)  # (.., UF, (r+2)Co)
 
 
-def conv3d_dk_pallas_padded(xp, gf, k_shape, W: int, ht: int | None = None,
+def conv3d_dk_pallas_folded(xf, gf, k_shape, W: int, ht: int | None = None,
                             interpret: bool = False):
-    """Folded-core kernel gradient: xp (N,D+2,H+2,W/r,128) padded folded
-    input, gf (N,D,H,W/r,r*Co) folded cotangent -> (3,3,3,C,Co) f32."""
-    n, Dp, Hp, UF, L = xp.shape
-    D, H = Dp - 2, Hp - 2
+    """Folded-core kernel gradient: xf (N,D,H,W/r,128) UNPADDED folded
+    input, gf (N,D,H,W/r,r*Co) folded cotangent -> (3,3,3,C,Co) f32.
+    Boundaries handled in-kernel (`_slab_io`)."""
+    n, D, H, UF, L = xf.shape
     C, Co = k_shape[3], k_shape[4]
     r = _fold(C)
-    assert r * C == 128 == L and UF * r == W, (xp.shape, k_shape, W)
+    assert r * C == 128 == L and UF * r == W, (xf.shape, k_shape, W)
     assert gf.shape == (n, D, H, UF, r * Co), (gf.shape, (n, D, H, UF, r * Co))
     if ht is None:
-        ht = _pick_ht(H, UF, C, Co, r, xp.dtype.itemsize,
+        ht = _pick_ht(H, UF, C, Co, r, xf.dtype.itemsize,
                       gl=(r + 2) * Co + (-((r + 2) * Co) % 128))
     ge = _slotted_from_folded(gf, r, Co, UF)
     slots = (r + 2) * Co
@@ -292,9 +351,11 @@ def conv3d_dk_pallas_padded(xp, gf, k_shape, W: int, ht: int | None = None,
     if slots_pad:
         ge = jnp.pad(ge, ((0, 0),) * 4 + ((0, slots_pad),))
     GL = slots + slots_pad
-    grid = (n, H // ht, D)
+    J = H // ht
+    grid = (n, J, D)
     out = pl.pallas_call(
-        functools.partial(_dk_kernel, ht=ht, UF=UF, r=r, C=C, Co=Co, D=D, GL=GL),
+        functools.partial(_dk_kernel, ht=ht, UF=UF, r=r, C=C, Co=Co, D=D,
+                          J=J, GL=GL),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -304,18 +365,20 @@ def conv3d_dk_pallas_padded(xp, gf, k_shape, W: int, ht: int | None = None,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((9 * C, 3 * Co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((4, ht + 2, UF, r * C), xp.dtype),
+            pltpu.VMEM((4, ht + 2, UF, r * C), xf.dtype),
             pltpu.VMEM((ht, UF, GL), gf.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * 27 * C * Co * n * D * H * W,
-            bytes_accessed=(n * D * H * W * (C + Co)) * xp.dtype.itemsize,
+            bytes_accessed=(n * D * H * W * (C + Co)) * xf.dtype.itemsize,
             transcendentals=0,
         ),
-    )(xp, ge)
+    )(xf, ge)
     # rows are (kd, kh, C); lanes are (dw reversed, Co)
     dk = out.reshape(3, 3, C, 3, Co)[:, :, :, ::-1, :]
     return jnp.transpose(dk, (0, 1, 3, 2, 4))
@@ -332,8 +395,7 @@ def conv3d_dk_pallas(x, g, ht: int | None = None, interpret: bool = False):
     r = _fold(C)
     assert W % r == 0 and r * C == 128, (W, C)
     UF = W // r
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
-    xp = xp.reshape(n, D + 2, H + 2, UF, r * C)
+    xf = x.reshape(n, D, H, UF, r * C)
     gf = g.reshape(n, D, H, UF, r * Co)
-    return conv3d_dk_pallas_padded(xp, gf, (3, 3, 3, C, Co), W, ht=ht,
+    return conv3d_dk_pallas_folded(xf, gf, (3, 3, 3, C, Co), W, ht=ht,
                                    interpret=interpret)

@@ -105,11 +105,9 @@ def folded_conv3d_same(xf, k, C: int, W: int):
     n, D, H, UF, L = xf.shape
     Co = k.shape[-1]
     if _use_pallas() and _s1_pallas_ok(C, Co, W, xf.dtype.itemsize):
-        from .conv3d_pallas import conv3d_fwd_pallas_padded
+        from .conv3d_pallas import conv3d_fwd_pallas_folded
 
-        r = 128 // C
-        xp = _pad_dh(xf).reshape(n, D + 2, H + 2, W // r, 128)
-        out = conv3d_fwd_pallas_padded(xp, k, W)
+        out = conv3d_fwd_pallas_folded(xf, k, W)
         return out.reshape(n, D, H, W * Co // 128, 128)
     y = _conv_ref(unfold(xf, C), k, (1, 1, 1))
     return fold(y)
@@ -124,19 +122,18 @@ def _s1_bwd(C, W, res, g):
     n, D, H, _, _ = xf.shape
     Co = k.shape[-1]
     if _use_pallas() and _s1_pallas_ok(C, Co, W, xf.dtype.itemsize):
-        from .conv3d_pallas import conv3d_dk_pallas_padded, conv3d_fwd_pallas_padded
+        from .conv3d_pallas import conv3d_dk_pallas_folded, conv3d_fwd_pallas_folded
 
         # dx: stride-1 conv of the cotangent with the flipped,
         # channel-swapped kernel — same folded kernel, roles swapped
         k_t = jnp.flip(k, axis=(0, 1, 2)).swapaxes(3, 4)
         rg = 128 // Co
-        gp = _pad_dh(g).reshape(n, D + 2, H + 2, W // rg, 128)
-        dx = conv3d_fwd_pallas_padded(gp, k_t, W)
+        gx = g.reshape(n, D, H, W // rg, 128)
+        dx = conv3d_fwd_pallas_folded(gx, k_t, W)
         dx = dx.reshape(n, D, H, W * C // 128, 128)
         r = 128 // C
-        xp = _pad_dh(xf).reshape(n, D + 2, H + 2, W // r, 128)
         gf = g.reshape(n, D, H, W // r, r * Co)
-        dk = conv3d_dk_pallas_padded(xp, gf, k.shape, W)
+        dk = conv3d_dk_pallas_folded(xf, gf, k.shape, W)
         return dx, dk.astype(k.dtype)
     _, vjp = jax.vjp(
         lambda a, b: fold(_conv_ref(unfold(a, C), b, (1, 1, 1))), xf, k

@@ -126,20 +126,39 @@ def _assemble_jnp(A, B, D, W, mask_left, dtype, d_values=None, w_values=None):
     return out
 
 
+def _place_w(col, left, W):
+    """(n, h, L, o) column -> (n, h, W, o) with out[v] = col[v - left]
+    (zero outside); left may be negative.  All indices static."""
+    n, h, L, o = col.shape
+    if left >= 0:
+        seg = col[:, :, : max(0, min(L, W - left)), :]
+    else:
+        seg = col[:, :, -left: max(-left, min(L, W - left)), :]
+        left = 0
+    pad_r = W - left - seg.shape[2]
+    return jnp.pad(seg, ((0, 0), (0, 0), (left, pad_r), (0, 0)))
+
+
 def _stem_bwd(fL, fR, kernel, D, mask_left, g):
-    """Manual VJP of the fused volume+conv — scatter-free.
+    """Manual VJP of the fused volume+conv — scatter-free, and (r5)
+    single-pass over the volume.
 
     XLA's autodiff of the assembly turns the nine B-map gathers into
     volume-sized scatter-adds (full stem grad 12.2 ms at the PSMNet
     shape), and gather-based backwards are worse still on TPU (seconds).
-    This version is gather- AND scatter-free:
+    The r4 version was gather/scatter-free but still made 18 masked
+    full-volume reductions (9 dA + 9 dB) plus three skew buildups
+    (~15 ms of transposes/pads at b4, r5 trace).  The algebra collapses:
 
-      * dA[(dd,dw)][w] = sum_d g[d,w]*(d <= w+dw-dd) — a masked
-        D-reduction with an iota mask;
-      * dB[(dd,dw)][v] = sum_d g[d, v+d+dd-dw] — an anti-diagonal sum,
-        realized by re-viewing the W-padded volume with row length
-        Wp+1 (the classic skew-reshape trick), after which the
-        diagonal becomes a uniform column slice.
+      * dA[(dd,dw)][w] = sum_{d <= w+dw-dd} g[d,w] — a prefix sum: ONE
+        cumsum over D, then each tap is a strided-slice diagonal
+        extraction cum[w+e, w] (stride W+1 on the flat view) plus
+        single-row corrections for the d-range exclusions;
+      * dB[(dd,dw)][v] = sum_d g[d, v+d+dd-dw] — every tap is a
+        W-shift of ONE anti-diagonal sum T[u] = sum_d g[d, u+d]
+        (skew-reshape + one reduction), minus single-row terms (the
+        d-range exclusions) and a flipped single-column term (the
+        w-boundary condition of dw = +1).
 
     Exact — verified against jax.vjp of the raw decomposition
     (tests/test_ops.py)."""
@@ -149,8 +168,6 @@ def _stem_bwd(fL, fR, kernel, D, mask_left, g):
     KL = kernel[..., :f, :].astype(jnp.float32)
     KR = kernel[..., f:, :].astype(jnp.float32)
     S = jnp.sum(g, axis=1, dtype=jnp.float32)          # (n,h,W,o)
-    d_col = jnp.arange(D)[None, :, None, None, None]   # (1,D,1,1,1)
-    w_col = jnp.arange(W)[None, None, None, :, None]   # (1,1,1,W,1)
 
     # H-shifted input stacks reused by every tap's kernel gradient
     fLp = jnp.pad(fL, ((0, 0), (1, 1), (0, 0), (0, 0)))
@@ -158,45 +175,66 @@ def _stem_bwd(fL, fR, kernel, D, mask_left, g):
     fLs = jnp.stack([fLp[:, kh:kh + h] for kh in range(3)])
     fRs = jnp.stack([fRp[:, kh:kh + h] for kh in range(3)])
 
-    # skewed views of the cotangent, one per dw (wext column masking):
-    # skew[d, j] = g[d, w = j + d - 2], so the (dd,dw) anti-diagonal is
-    # the uniform column slice j = v + (dd - dw) + 2
     gt = jnp.moveaxis(g, 1, 2)                         # (n,h,D,W,o)
+    row0 = gt[:, :, 0].astype(jnp.float32)             # (n,h,W,o)
+    rowN = gt[:, :, D - 1].astype(jnp.float32)
+    colW = gt[:, :, :, W - 1, :]                       # (n,h,D,o)
+
+    # ---- ONE anti-diagonal sum: T[u] = sum_d g[d, u+d], u = j - 2
     Wp = W + D + 4
-    skews = {}
-    for dw in (-1, 0, 1):
-        gdw = gt
-        if dw == 1:        # wext: w+1 <= W-1 -> zero w = W-1
-            gdw = gdw.at[:, :, :, W - 1, :].set(0)
-        elif dw == -1:     # wext: w-1 >= 0 -> zero w = 0
-            gdw = gdw.at[:, :, :, 0, :].set(0)
-        gp = jnp.pad(gdw, ((0, 0), (0, 0), (0, 0), (2, D + 2), (0, 0)))
-        flat = gp.reshape(n, h, D * Wp, o)
-        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, D), (0, 0)))
-        skews[dw] = flat.reshape(n, h, D, Wp + 1, o)
+    gp = jnp.pad(gt, ((0, 0), (0, 0), (0, 0), (2, D + 2), (0, 0)))
+    flat = gp.reshape(n, h, D * Wp, o)
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (0, D), (0, 0)))
+    skew = flat.reshape(n, h, D, Wp + 1, o)
+    T = jnp.sum(skew, axis=2, dtype=jnp.float32)       # (n,h,Wp+1,o)
+
+    # ---- ONE prefix sum + 5 diagonal extractions: E[e][w] = cum[w+e, w]
+    # (0 for w+e < 0, S for w+e > D-1)
+    if mask_left:
+        cum = jnp.cumsum(gt, axis=2, dtype=jnp.float32)
+        cflat = cum.reshape(n, h, D * W, o)
+        E = {}
+        for e in range(-2, 3):
+            lo = max(0, -e)
+            hi = max(lo, min(W, D - e))
+            cnt = hi - lo
+            if cnt > 0:
+                s0 = (lo + e) * W + lo
+                part = lax.slice(
+                    cflat, (0, 0, s0, 0),
+                    (n, h, s0 + (cnt - 1) * (W + 1) + 1, o),
+                    (1, 1, W + 1, 1),
+                )
+            else:
+                part = jnp.zeros((n, h, 0, o), jnp.float32)
+            E[e] = jnp.concatenate(
+                [jnp.zeros((n, h, lo, o), jnp.float32), part,
+                 S[:, :, hi:W, :]], axis=2)
 
     dfL = jnp.zeros(fL.shape, jnp.float32)
     dfR = jnp.zeros(fR.shape, jnp.float32)
     dKL = jnp.zeros(KL.shape, jnp.float32)
     dKR = jnp.zeros(KR.shape, jnp.float32)
 
+    w_iota = jnp.arange(W)[None, None, :, None]
+
     for i, dd in enumerate((-1, 0, 1)):
         for k, dw in enumerate((-1, 0, 1)):
-            # ---- left cotangent map: dA = sum_d g * lmask ----
+            # ---- left cotangent map: dA = sum_{d in rows} g[d, w],
+            #      d <= w + e with e = dw - dd ----
+            e = dw - dd
             if mask_left:
-                mask = d_col <= w_col + (dw - dd)
+                dA = E[e]
                 if dd == -1:
-                    mask = mask & (d_col >= 1)
+                    dA = dA - jnp.where(w_iota + e >= 0, row0, 0.0)
                 elif dd == 1:
-                    mask = mask & (d_col <= D - 2)
-                dA = jnp.sum(jnp.where(mask, g, 0), axis=1,
-                             dtype=jnp.float32)
+                    dA = jnp.where(w_iota + e >= D - 1, S - rowN, dA)
             else:
                 dA = S
                 if dd == -1:
-                    dA = S - g[:, 0].astype(jnp.float32)
+                    dA = S - row0
                 elif dd == 1:
-                    dA = S - g[:, D - 1].astype(jnp.float32)
+                    dA = S - rowN
             dC = _shift_w(dA, -dw)                      # shift_w transpose
             k2 = jnp.flip(KL[i, :, k], 0).swapaxes(1, 2)
             dfL = dfL + _conv_dh(dC, k2)
@@ -204,15 +242,26 @@ def _stem_bwd(fL, fR, kernel, D, mask_left, g):
                 "knhwf,nhwo->kfo", fLs, dC.astype(fLs.dtype),
                 preferred_element_type=jnp.float32))
 
-            # ---- right cotangent map: dB[v] = sum_d g[d, v+d+dd-dw] ----
-            sl = skews[dw][:, :, :, 2 + dd - dw: 2 + dd - dw + W, :]
-            rowmask = jnp.ones((1, 1, D, 1, 1), bool)
+            # ---- right cotangent map: dB[v] = sum_{d in rows}
+            #      g[d, v+d+delta] minus the w-boundary term ----
+            delta = dd - dw
+            dB = lax.slice_in_dim(T, delta + 2, delta + 2 + W, axis=2)
             if dd == -1:
-                rowmask = d_col.swapaxes(1, 2) >= 1
+                dB = dB - _shift_w(row0, delta)
             elif dd == 1:
-                rowmask = d_col.swapaxes(1, 2) <= D - 2
-            dB = jnp.sum(jnp.where(rowmask, sl, 0), axis=2,
-                         dtype=jnp.float32)            # (n,h,W,o)
+                dB = dB - _shift_w(rowN, delta + D - 1)
+            if dw == 1:
+                # skew counted g[d*, W-1] at d* = W-1-v-delta; the
+                # assembly's wext zeroed that column for this tap
+                col = colW
+                if dd == -1:
+                    col = col.at[:, :, 0, :].set(0)
+                elif dd == 1:
+                    col = col.at[:, :, D - 1, :].set(0)
+                hit = _place_w(jnp.flip(col, axis=2), W - D - delta, W)
+                dB = dB - hit.astype(jnp.float32)
+            # dw == -1 hits g[d*, 0] only at (dd=-1, v=0, d*=0), which
+            # the d-range exclusion already removed — no correction
             k2r = jnp.flip(KR[i, :, k], 0).swapaxes(1, 2)
             dfR = dfR + _conv_dh(dB, k2r)
             dKR = dKR.at[i, :, k].add(jnp.einsum(
