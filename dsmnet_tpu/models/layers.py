@@ -393,6 +393,41 @@ class FoldedConvBN3d(nn.Module):
         return xf
 
 
+class _FoldedTo1Core(nn.Module):
+    """Param holder + call for the folded Cout=1 head (named Conv_0 so
+    the param tree matches ConvBN(1, 3, 1, dims=3, use_bias=False))."""
+
+    C: int
+    W: int
+
+    @nn.compact
+    def __call__(self, xf):
+        from ..ops.folded import folded_conv3d_to1
+
+        kern = self.param("kernel", conv_kernel_init, (3, 3, 3, self.C, 1))
+        dt = default_dtype()
+        if dt is not None:
+            xf = xf.astype(dt)
+            kern = kern.astype(dt)
+        return folded_conv3d_to1(xf, kern, self.C, self.W)
+
+
+class FoldedConvTo1(nn.Module):
+    """PSMNet classifier c1 (32 -> 1 conv, stackhourglass.py:88-98) on
+    the FOLDED volume: one lane-dense GEMM whose j-major output reshapes
+    freely into the tapfold (W, 27) stack (ops.folded.folded_conv3d_to1)
+    — no unfold, no lane-padded read.  Returns the unfolded
+    (N, D, H, W, 1) cost map."""
+
+    C: int
+    W: int
+
+    @nn.compact
+    def __call__(self, xf, train: bool = True):
+        del train  # no BN/ReLU on the classifier head
+        return _FoldedTo1Core(self.C, self.W, name="Conv_0")(xf)
+
+
 class ConvBN(nn.Module):
     """Conv (2-D or 3-D by ``dims``) + optional BatchNorm + optional ReLU.
 

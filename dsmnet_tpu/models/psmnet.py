@@ -30,6 +30,7 @@ from ..parallel.context import shard_activation
 from .layers import (
     ConvBN,
     FoldedConvBN3d,
+    FoldedConvTo1,
     make_bn,
     ResBlockPSM,
     _FastDeconv3d,
@@ -207,18 +208,12 @@ class _Classifier(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         if self.folded:
-            from ..ops.folded import unfold
-
-            # c1 runs on the unfolded form via the tapfold GEMM
-            # (ops/conv3d.py _conv_tapfold).  A folded formulation
-            # (ops/folded.py folded_conv3d_to1) was built and REJECTED:
-            # in-model b4 it measured 378.8 vs 368.7 ms — XLA lowers its
-            # thin-lane tap recombination as padded-layout copies
-            # (scripts/bench_c1.py).
+            # c1 stays folded: lane-dense GEMM + free reshape into the
+            # proven tapfold recombination (ops/folded.py
+            # folded_conv3d_to1) — no unfold, no lane-padded read
             x = FoldedConvBN3d(32, 32, self.W, 1, name="c0")(x, train)
-            x = unfold(x, 32)
-        else:
-            x = ConvBN(32, 3, 1, dims=3, use_bias=False, bn=True, name="c0")(x, train)
+            return FoldedConvTo1(32, self.W, name="c1")(x)
+        x = ConvBN(32, 3, 1, dims=3, use_bias=False, bn=True, name="c0")(x, train)
         x = ConvBN(1, 3, 1, dims=3, use_bias=False, bn=False, relu=False,
                    name="c1")(x, train)
         return x

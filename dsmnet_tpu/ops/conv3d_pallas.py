@@ -25,13 +25,18 @@ models/psmnet/stackhourglass.py:73-149):
     u-shift in {-1,0,+1}: masked sublane rolls + lane concat assemble
     the folded output.
 
-Kernel-gradient kernel: same slab machinery for x; the cotangent
-arrives as a *slotted* view g_ext (N, D, H, W/r, (r+2)*Co) where slot
-s holds g at w = u*r + s - 1 (built by strided XLA slices).  For each
-x-parity pw the three kw taps pair with slots pw+2-dw — a contiguous
-3Co lane window of g_ext, in reversed-dw order — so the per-parity
-contraction is ONE (M, 9C)^T (M, 3Co) matmul accumulated into a
-VMEM-resident (9C, 3Co) f32 output across all grid steps.
+Kernel-gradient kernel: same slab machinery for x; the cotangent is
+DMA'd in its canonical folded form and extended IN VMEM to a *slotted*
+view (M, (r+2)*Co) where slot s holds g at w = u*r + s - 1 (two masked
+sublane rolls + a lane concat).  For each x-parity pw the three kw
+taps pair with slots pw+2-dw — a contiguous 3Co lane window, in
+reversed-dw order — so the per-parity contraction is ONE
+(M, 9C)^T (M, 3Co) matmul accumulated into a VMEM-resident (9C, 3Co)
+f32 output across all grid steps.
+
+Both kernels consume UNPADDED inputs: D/H boundary halos are predicated
+DMAs / zeroed edge rows (`_slab_io`), so callers never materialize a
+padded HBM copy of the volume.
 """
 
 from __future__ import annotations
@@ -276,15 +281,15 @@ def conv3d_fwd_pallas(x, k, ht: int | None = None, interpret: bool = False):
     return out.reshape(n, D, H, W, Co)
 
 
-def _dk_kernel(x_ref, ge_ref, dk_ref, ring, gslab, sems_m, sems_t, sems_b,
-               gsem, *, ht, UF, r, C, Co, D, J, GL):
+def _dk_kernel(x_ref, gf_ref, dk_ref, ring, gslab, sems_m, sems_t, sems_b,
+               gsem, *, ht, UF, r, C, Co, D, J):
     n = pl.program_id(0)
     j = pl.program_id(1)
     d = pl.program_id(2)
     h0 = j * ht
 
     gcp = pltpu.make_async_copy(
-        ge_ref.at[n, d, pl.ds(h0, ht), :, :], gslab, gsem
+        gf_ref.at[n, d, pl.ds(h0, ht), :, :], gslab, gsem
     )
     gcp.start()
 
@@ -299,7 +304,20 @@ def _dk_kernel(x_ref, ge_ref, dk_ref, ring, gslab, sems_m, sems_t, sems_b,
         slab = ring[(d + kd) % 4]
         for kh in range(3):
             merged.append(slab[kh:kh + ht].reshape(M, r * C))
-    gm = gslab[:].reshape(M, GL)
+
+    # slotted cotangent built IN VMEM: slot s of folded column u holds
+    # g at w = u*r + s - 1, i.e. [prev column's last block | g | next
+    # column's first block].  The r4 version materialized this as an
+    # XLA-side (r+2)*Co-lane HBM tensor — ~4.4 ms of concat/slice/pad
+    # fusions and 2x cotangent DMA traffic per conv bwd (r5 trace).
+    gm = gslab[:].reshape(M, r * Co)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+    u_of = rows % UF
+    prev = pltpu.roll(gm[:, (r - 1) * Co:].astype(jnp.float32), 1, 0)
+    prev = jnp.where(u_of == 0, 0.0, prev).astype(gm.dtype)
+    nxt = pltpu.roll(gm[:, :Co].astype(jnp.float32), M - 1, 0)
+    nxt = jnp.where(u_of == UF - 1, 0.0, nxt).astype(gm.dtype)
+    ge = jnp.concatenate([prev, gm, nxt], axis=-1)  # (M, (r+2)Co)
 
     first = (n == 0) & (j == 0) & (d == 0)
 
@@ -312,24 +330,12 @@ def _dk_kernel(x_ref, ge_ref, dk_ref, ring, gslab, sems_m, sems_t, sems_b,
         patches = jnp.concatenate(
             [m[:, pw * C:(pw + 1) * C] for m in merged], axis=-1
         )  # (M, 9C)
-        gsel = gm[:, pw * Co:(pw + 3) * Co]  # slots pw..pw+2 = dw 2,1,0
+        gsel = ge[:, pw * Co:(pw + 3) * Co]  # slots pw..pw+2 = dw 2,1,0
         acc = acc + lax.dot_general(
             patches, gsel, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     dk_ref[:] += acc
-
-
-def _slotted_from_folded(gf, r, Co, UF):
-    """Slotted cotangent from the FOLDED g (n,D,H,UF,r*Co): slot s of
-    column u holds g at w = u*r + s - 1.  Interior slots are plain lane
-    blocks; the two edge slots are the neighbour columns' extreme
-    blocks (dense-lane shifts — no strided gathers)."""
-    lo = gf[..., (r - 1) * Co: r * Co]
-    hi = gf[..., 0:Co]
-    prev = jnp.pad(lo, ((0, 0),) * 3 + ((1, 0), (0, 0)))[:, :, :, :UF]
-    nxt = jnp.pad(hi, ((0, 0),) * 3 + ((0, 1), (0, 0)))[:, :, :, 1:]
-    return jnp.concatenate([prev, gf, nxt], axis=-1)  # (.., UF, (r+2)Co)
 
 
 def conv3d_dk_pallas_folded(xf, gf, k_shape, W: int, ht: int | None = None,
@@ -344,18 +350,12 @@ def conv3d_dk_pallas_folded(xf, gf, k_shape, W: int, ht: int | None = None,
     assert gf.shape == (n, D, H, UF, r * Co), (gf.shape, (n, D, H, UF, r * Co))
     if ht is None:
         ht = _pick_ht(H, UF, C, Co, r, xf.dtype.itemsize,
-                      gl=(r + 2) * Co + (-((r + 2) * Co) % 128))
-    ge = _slotted_from_folded(gf, r, Co, UF)
-    slots = (r + 2) * Co
-    slots_pad = -slots % 128
-    if slots_pad:
-        ge = jnp.pad(ge, ((0, 0),) * 4 + ((0, slots_pad),))
-    GL = slots + slots_pad
+                      gl=(2 * r + 2) * Co)
     J = H // ht
     grid = (n, J, D)
     out = pl.pallas_call(
         functools.partial(_dk_kernel, ht=ht, UF=UF, r=r, C=C, Co=Co, D=D,
-                          J=J, GL=GL),
+                          J=J),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -366,7 +366,7 @@ def conv3d_dk_pallas_folded(xf, gf, k_shape, W: int, ht: int | None = None,
         out_shape=jax.ShapeDtypeStruct((9 * C, 3 * Co), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((4, ht + 2, UF, r * C), xf.dtype),
-            pltpu.VMEM((ht, UF, GL), gf.dtype),
+            pltpu.VMEM((ht, UF, r * Co), gf.dtype),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
@@ -378,7 +378,7 @@ def conv3d_dk_pallas_folded(xf, gf, k_shape, W: int, ht: int | None = None,
             bytes_accessed=(n * D * H * W * (C + Co)) * xf.dtype.itemsize,
             transcendentals=0,
         ),
-    )(xf, ge)
+    )(xf, gf)
     # rows are (kd, kh, C); lanes are (dw reversed, Co)
     dk = out.reshape(3, 3, C, 3, Co)[:, :, :, ::-1, :]
     return jnp.transpose(dk, (0, 1, 3, 2, 4))

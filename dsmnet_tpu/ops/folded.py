@@ -148,73 +148,65 @@ folded_conv3d_same.defvjp(_s1_fwd, _s1_bwd)
 #
 # The PSMNet classifier c1 (32 -> 1, 3x3x3; stackhourglass.py:88-98) is
 # tiny in FLOPs but the unfold -> tapfold route pays ~6.6 ms/head at b4
-# (r5 trace): the unfolded (.., W, 32) tensor is 4x lane-padded and the
-# Cout=1 conv is lane-fill bound.  On the folded form the channel
-# contraction is ONE dense 128-lane GEMM: with lane = j*C + c (j = w
-# subgroup), S = xf @ A computes every (subgroup, tap) partial dot at
-# full MXU utilization, and the spatial taps reduce to 27 static shifted
-# adds over S's lane columns.  No unfold, no padding.
+# (r5 trace): the unfold materializes the 4x lane-padded (.., W, 32)
+# tensor and the tapfold's 1x1x1 conv reads it lane-fill bound.  On the
+# folded form the channel contraction is ONE dense 128-lane GEMM: with
+# lane = j*C + c (j = w subgroup), S = xf @ kron(eye(r), km.T) computes
+# every (subgroup, tap) partial dot at full MXU utilization — and with
+# j-MAJOR columns (col = j*27 + t) the flat minor order (uf, j*27+t)
+# equals (w, t), so S reshapes row-major to the (N, D, H, W, 27) tap
+# stack that the proven tapfold recombination (27 single-lane shifted
+# adds, ~2.7 ms fused at b4) already consumes.  Earlier recombinations
+# directly on the (UF, r*27) form were measured and rejected: XLA
+# materializes r-lane tap pieces with up to 128x layout padding
+# (scripts/bench_c1.py; one variant OOMed at b4).
 #
-# STATUS: measured and REJECTED as the production c1 (kept as a tested
-# reference + benchmark, scripts/bench_c1.py).  In-model b4 it ran
-# 378.8 vs 368.7 ms and standalone fwd 47.1 vs 9.3 ms: XLA materializes
-# the r-lane tap pieces and the final (.., UF, r) accumulator through
-# padded-layout copies, which costs more than the lane GEMM saves.  A
-# Pallas recombination kernel could recover it; at ~15 ms/step of
-# headroom it has not paid for itself yet.
+# Backward delegates to the unfold composition, whose conv3d_same VJP
+# already carries the measured-good dx (_conv_cin1_gemm) and dK
+# (_dk_ntap) formulations.
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def folded_conv3d_to1(xf, k, C: int, W: int):
     """stride-1 SAME 3x3x3 conv with Cout=1 on the folded volume.
 
     xf (N, D, H, W*C/128, 128), k (3,3,3,C,1); returns the UNFOLDED
     (N, D, H, W, 1) — a 1-channel map is not foldable and feeds the
-    regression head directly.  Pure jnp (CPU-runnable); autodiff gives
-    the transpose GEMMs for dx/dk.
-
-    Lane plan: S's columns are TAP-MAJOR (col = t*r + j_in) so each
-    tap's recombination reads one contiguous r-lane slice; the w-subgroup
-    rotation for kw != 1 is a two-slice concat (the wrapped subgroup
-    comes from the adjacent folded row).  Single-lane column slices were
-    tried first and rejected: XLA materializes each (.., UF, 1) piece
-    with 128x lane padding (216 MB apiece at b4 — OOM)."""
+    regression head directly."""
     n, D, H, UF, L = xf.shape
     assert L == 128 and k.shape[:3] == (3, 3, 3) and k.shape[-1] == 1
     r = 128 // C
     acc = jnp.promote_types(xf.dtype, jnp.float32)
     km = k.reshape(27, C)  # rows t = kd*9 + kh*3 + kw
-    # A[j*C + c, t*r + j] = km[t, c]  (tap-major columns)
-    A = jnp.einsum("jJ,tc->jctJ", jnp.eye(r, dtype=km.dtype), km
-                   ).reshape(r * C, 27 * r)
-    xp = jnp.pad(xf, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-    S = lax.dot_general(xp, A, (((4,), (0,)), ((), ())),
-                        preferred_element_type=acc)
-    if xf.dtype == jnp.bfloat16:
-        S = S.astype(jnp.bfloat16)  # halve the HBM traffic; taps re-sum in f32
+    A = jnp.kron(jnp.eye(r, dtype=km.dtype), km.T)  # A[j*C+c, j*27+t]
+    S = lax.dot_general(xf, A, (((4,), (0,)), ((), ())),
+                        preferred_element_type=acc).astype(xf.dtype)
+    z = S.reshape(n, D, H, W, 27)  # free: (uf, j*27+t) == (w, t)
+    zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
     y = None
-    for kd in range(3):
-        for kh in range(3):
-            for kw in range(3):
-                t = kd * 9 + kh * 3 + kw
-                base = t * r
-                dsl = lambda uf0, c0, c1: lax.slice(
-                    S, (0, kd, kh, uf0, base + c0),
-                    (n, kd + D, kh + H, uf0 + UF, base + c1),
-                ).astype(acc)
-                if kw == 1:
-                    piece = dsl(1, 0, r)
-                elif kw == 2:
-                    # y[.., j] reads j_in = (j+1) % r; j = r-1 wraps to
-                    # the NEXT folded row's subgroup 0
-                    piece = jnp.concatenate(
-                        [dsl(1, 1, r), dsl(2, 0, 1)], axis=-1)
-                else:
-                    # kw == 0: j_in = (j-1) % r; j = 0 wraps to the
-                    # PREVIOUS folded row's subgroup r-1
-                    piece = jnp.concatenate(
-                        [dsl(0, r - 1, r), dsl(1, 0, r - 1)], axis=-1)
+    for dd in range(3):
+        for dh in range(3):
+            for dw in range(3):
+                t = dd * 9 + dh * 3 + dw
+                piece = lax.dynamic_slice(
+                    zp, (0, dd, dh, dw, t), (n, D, H, W, 1)).astype(acc)
                 y = piece if y is None else y + piece
-    return y.reshape(n, D, H, W, 1).astype(xf.dtype)
+    return y.astype(xf.dtype)
+
+
+def _to1_fwd(xf, k, C, W):
+    return folded_conv3d_to1(xf, k, C, W), (xf, k)
+
+
+def _to1_bwd(C, W, res, g):
+    from .conv3d import conv3d_same
+
+    xf, k = res
+    _, vjp = jax.vjp(lambda a, b: conv3d_same(unfold(a, C), b), xf, k)
+    return vjp(g)
+
+
+folded_conv3d_to1.defvjp(_to1_fwd, _to1_bwd)
 
 
 # ------------------------------------------------------------- stride 2

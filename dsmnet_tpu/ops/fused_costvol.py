@@ -191,7 +191,15 @@ def _stem_bwd(fL, fR, kernel, D, mask_left, g):
     # ---- ONE prefix sum + 5 diagonal extractions: E[e][w] = cum[w+e, w]
     # (0 for w+e < 0, S for w+e > D-1)
     if mask_left:
-        cum = jnp.cumsum(gt, axis=2, dtype=jnp.float32)
+        # prefix sums over D as a triangular matmul: XLA lowers cumsum
+        # via reduce_window plus a full f32 convert of the volume
+        # (~6 ms at b4, r5 trace); the (D, D) GEMM reads bf16 directly
+        # and runs on the MXU
+        tri = jnp.tril(jnp.ones((D, D), gt.dtype))
+        cum = lax.dot_general(
+            tri, gt, (((1,), (2,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (D, n, h, W, o)
+        cum = jnp.moveaxis(cum, 0, 2)                  # (n, h, D, W, o)
         cflat = cum.reshape(n, h, D * W, o)
         E = {}
         for e in range(-2, 3):

@@ -80,7 +80,8 @@ def trilinear_soft_argmin(
 
     def one_chunk(_, sb):
         s, Ahc = sb
-        rows = lax.dynamic_slice(x, (0, 0, s, 0), (n, d, win, wc))
+        z = jnp.zeros((), s.dtype)
+        rows = lax.dynamic_slice(x, (z, z, s, z), (n, d, win, wc))
         hi = jnp.einsum("ih,ndhw->ndiw", Ahc, rows)     # (N, D, h_chunk, Wc)
         full = jnp.einsum("jw,ndiw->ndij", Aw, hi)      # (N, D, h_chunk, W)
         logits = -full if negate else full
