@@ -227,6 +227,35 @@ class _FastConv3d(nn.Module):
         return y
 
 
+class _FastConv2d(nn.Module):
+    """Drop-in for nn.Conv on eligible 2-D convs (3x3, stride 1, SAME,
+    undilated) using ops.conv2d.conv2d_same — same parameter structure
+    and init; routes the feature-tower shapes whose channels fold into
+    dense 128-lane rows to the Pallas 2-D kernels on TPU."""
+
+    features: int
+    use_bias: bool
+    kernel_init: Callable
+    bias_init: Callable
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.conv2d import conv2d_same
+
+        kshape = (3, 3, x.shape[-1], self.features)
+        kern = self.param("kernel", self.kernel_init, kshape)
+        dt = self.dtype
+        if dt is not None:
+            x = x.astype(dt)
+            kern = kern.astype(dt)
+        y = conv2d_same(x, kern)
+        if self.use_bias:
+            b = self.param("bias", self.bias_init, (self.features,))
+            y = y + (b.astype(dt) if dt is not None else b)
+        return y
+
+
 class _FastDeconv3d(nn.Module):
     """Drop-in for nn.ConvTranspose on k=3 s=2 3-D deconvs using
     ops.conv3d.deconv3d_k3s2 (parity-folded GEMM on TPU).  Same param
@@ -480,9 +509,21 @@ class ConvBN(nn.Module):
             and tuple(pad) == (1, 1, 1)
             and all(dim % 2 == 0 for dim in x.shape[1:4])
         )
+        fast2d = (
+            self.dims == 2
+            and k == (3, 3)
+            and s == (1, 1)
+            and all(dd == 1 for dd in dil)
+            and tuple(pad) == (1, 1)
+        )
         if fast3d:
             x = _FastConv3d(
                 self.features, k, self.use_bias, kinit,
+                _fanin_uniform_bias(fan_in), dt, name="Conv_0",
+            )(x)
+        elif fast2d:
+            x = _FastConv2d(
+                self.features, self.use_bias, kinit,
                 _fanin_uniform_bias(fan_in), dt, name="Conv_0",
             )(x)
         elif fast3d_s2:

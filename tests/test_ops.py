@@ -901,3 +901,30 @@ def test_folded_conv3d_to1_exact(rng):
     out2 = folded_conv3d_to1(fold(x2), k2, C2, W2)
     np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_conv2d_pallas_exact(rng):
+    """2-D folded Pallas kernels (interpret mode) equal the native lax
+    conv — forward, dx-as-flipped-forward, and dK — at C=32 and C=64
+    tower shapes including H/W boundaries."""
+    from dsmnet_tpu.ops.conv2d import _conv
+    from dsmnet_tpu.ops.conv2d_pallas import conv2d_dk_pallas, conv2d_fwd_pallas
+
+    for (n, H, W, C, Co) in [(2, 8, 64, 32, 32), (1, 6, 64, 64, 32),
+                             (1, 4, 32, 64, 64)]:
+        x = jnp.asarray(rng.randn(n, H, W, C).astype(np.float32))
+        k = jnp.asarray(rng.randn(3, 3, C, Co).astype(np.float32) * 0.1)
+        g = jnp.asarray(rng.randn(n, H, W, Co).astype(np.float32))
+        ref = _conv(x, k)
+        out = conv2d_fwd_pallas(x, k, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+        _, vjp = jax.vjp(_conv, x, k)
+        dx_ref, dk_ref = vjp(g)
+        k_t = jnp.flip(k, axis=(0, 1)).swapaxes(2, 3)
+        dx = conv2d_fwd_pallas(g, k_t, interpret=True)
+        np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                                   atol=1e-4, rtol=1e-4)
+        dk = conv2d_dk_pallas(x, g, interpret=True)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref),
+                                   atol=1e-3, rtol=1e-4)
