@@ -282,7 +282,7 @@ def conv3d_fwd_pallas(x, k, ht: int | None = None, interpret: bool = False):
 
 
 def _dk_kernel(x_ref, gf_ref, dk_ref, ring, gslab, sems_m, sems_t, sems_b,
-               gsem, *, ht, UF, r, C, Co, D, J):
+               gsem, *, ht, UF, r, C, Co, D, J, GL):
     n = pl.program_id(0)
     j = pl.program_id(1)
     d = pl.program_id(2)
@@ -310,7 +310,7 @@ def _dk_kernel(x_ref, gf_ref, dk_ref, ring, gslab, sems_m, sems_t, sems_b,
     # column's first block].  The r4 version materialized this as an
     # XLA-side (r+2)*Co-lane HBM tensor — ~4.4 ms of concat/slice/pad
     # fusions and 2x cotangent DMA traffic per conv bwd (r5 trace).
-    gm = gslab[:].reshape(M, r * Co)
+    gm = gslab[:].reshape(M, GL)[:, :r * Co]
     rows = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
     u_of = rows % UF
     prev = pltpu.roll(gm[:, (r - 1) * Co:].astype(jnp.float32), 1, 0)
@@ -351,11 +351,16 @@ def conv3d_dk_pallas_folded(xf, gf, k_shape, W: int, ht: int | None = None,
     if ht is None:
         ht = _pick_ht(H, UF, C, Co, r, xf.dtype.itemsize,
                       gl=(2 * r + 2) * Co)
+    # Mosaic DMA slices need 128-aligned lanes: pad the cotangent's
+    # lane dim when r*Co < 128 (e.g. GCNet's 64->32 convs)
+    GL = max(r * Co, 128)
+    if r * Co < GL:
+        gf = jnp.pad(gf, ((0, 0),) * 4 + ((0, GL - r * Co),))
     J = H // ht
     grid = (n, J, D)
     out = pl.pallas_call(
         functools.partial(_dk_kernel, ht=ht, UF=UF, r=r, C=C, Co=Co, D=D,
-                          J=J),
+                          J=J, GL=GL),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -366,7 +371,7 @@ def conv3d_dk_pallas_folded(xf, gf, k_shape, W: int, ht: int | None = None,
         out_shape=jax.ShapeDtypeStruct((9 * C, 3 * Co), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((4, ht + 2, UF, r * C), xf.dtype),
-            pltpu.VMEM((ht, UF, r * Co), gf.dtype),
+            pltpu.VMEM((ht, UF, GL), gf.dtype),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((4,)),
