@@ -22,7 +22,6 @@ import numpy as np
 from jax import lax
 
 from .resize import interp_matrix
-from .softargmin import soft_argmin
 
 __all__ = ["trilinear_soft_argmin"]
 
